@@ -1,0 +1,527 @@
+"""On-device CTC loss and decoders (TPU-native, JAX/XLA).
+
+This module is the TPU-native replacement for the reference's delegated CTC
+core (SURVEY.md §2.2 C12/C13):
+
+  * reference call path: ``K.ctc_batch_cost`` (tf_keras/src/backend.py:7143)
+    -> ``tf.compat.v1.nn.ctc_loss`` (tensorflow/python/ops/ctc_ops.py:73)
+    -> C++ ``CTCLossOp`` — a CPU kernel, i.e. the reference pays a
+    device->host copy of the softmax every training step.
+  * reference decode path: ``K.ctc_decode`` (backend.py:7181) ->
+    ``ctc_greedy_decoder`` / ``ctc_beam_search_decoder`` (ctc_ops.py:299/:382),
+    also CPU kernels.
+
+Here everything runs on-device as batched, statically-shaped XLA programs:
+the forward-backward recursion is a ``lax.scan`` over time (sequential by
+nature, O(T) steps of fully-vectorized (B, S) work), decoders are
+``argmax``/top-k + scan. No host round-trip.
+
+Semantics replicated exactly (validated by golden tests vs the locally
+installed tf_keras 2.21 oracle, see tests/test_ctc_*.py):
+
+  * ``ctc_batch_cost``: inputs are post-softmax probabilities; Keras takes
+    ``log(y_pred + 1e-7)`` (Keras epsilon) and TF's ctc_loss re-applies a
+    log-softmax internally; blank index = num_classes - 1; dense labels with
+    explicit ``label_length``; repeated labels require an interposed blank
+    (ctc_merge_repeated=True, the Graves 2006 recursion).
+  * greedy decode: per-frame argmax over ``log(y_pred + eps)`` for
+    ``t < input_length``, collapse adjacent repeats, drop blanks; the score is
+    the **negative sum of per-frame max logits** (TF returns ``neg_sum_logits``,
+    no renormalization); dense output padded with -1.
+  * beam decode: see :func:`ctc_beam_search_decode`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Keras backend epsilon (tf_keras/src/backend_config.py): used by
+# ctc_batch_cost / ctc_decode when taking log of probabilities.
+KERAS_EPSILON = 1e-7
+
+_NEG_INF = -1e30  # large-negative stand-in for -inf; keeps grads NaN-free
+
+
+def _logsumexp3(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """logsumexp over three stacked arrays, safe when all are ~ -inf."""
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m_safe = jnp.maximum(m, _NEG_INF)
+    out = m_safe + jnp.log(
+        jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
+    )
+    return jnp.where(m > _NEG_INF / 2, out, _NEG_INF)
+
+
+def ctc_forward_log_loss(
+    log_probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    input_length: jnp.ndarray,
+    label_length: jnp.ndarray,
+    blank: int,
+) -> jnp.ndarray:
+    """Negative log-likelihood via the CTC alpha recursion (Graves 2006).
+
+    Args:
+      log_probs: (B, T, C) per-frame log-probabilities (already normalized).
+      labels: (B, L) dense int labels (padding values beyond ``label_length``
+        are ignored; they cannot contaminate the result because alpha mass at
+        extended positions > 2*label_length never flows back).
+      input_length: (B,) valid frame counts.
+      label_length: (B,) valid label counts.
+      blank: blank class index.
+
+    Returns:
+      (B,) float32 loss = -log p(labels | log_probs).
+    """
+    B, T, C = log_probs.shape
+    L = labels.shape[1]
+    S = 2 * L + 1
+
+    labels = jnp.clip(labels.astype(jnp.int32), 0, C - 1)
+    input_length = input_length.astype(jnp.int32).reshape(B)
+    label_length = label_length.astype(jnp.int32).reshape(B)
+
+    # Extended label sequence: blank, l1, blank, l2, ..., blank  -> (B, S)
+    ext = jnp.full((B, S), blank, dtype=jnp.int32)
+    ext = ext.at[:, 1::2].set(labels)
+
+    # Skip transition s-2 -> s allowed iff ext[s] is a real label differing
+    # from ext[s-2].
+    ext_m2 = jnp.concatenate(
+        [jnp.full((B, 2), -1, jnp.int32), ext[:, :-2]], axis=1
+    )
+    allow_skip = (ext != blank) & (ext != ext_m2)  # (B, S)
+
+    s_idx = jnp.arange(S)[None, :]  # (1, S)
+    valid_s = s_idx < (2 * label_length[:, None] + 1)  # (B, S)
+
+    lp_tmajor = jnp.transpose(log_probs, (1, 0, 2))  # (T, B, C)
+
+    # t = 0 init: alpha[0] = lp[blank], alpha[1] = lp[l1]
+    emit0 = jnp.take_along_axis(lp_tmajor[0], ext, axis=1)  # (B, S)
+    init_mask = s_idx < jnp.where(label_length[:, None] > 0, 2, 1)
+    alpha0 = jnp.where(init_mask & valid_s, emit0, _NEG_INF)
+
+    def step(alpha, lp_t_and_t):
+        lp_t, t = lp_t_and_t
+        emit = jnp.take_along_axis(lp_t, ext, axis=1)  # (B, S)
+        shift1 = jnp.concatenate(
+            [jnp.full((B, 1), _NEG_INF, alpha.dtype), alpha[:, :-1]], axis=1
+        )
+        shift2 = jnp.concatenate(
+            [jnp.full((B, 2), _NEG_INF, alpha.dtype), alpha[:, :-2]], axis=1
+        )
+        shift2 = jnp.where(allow_skip, shift2, _NEG_INF)
+        new = _logsumexp3(alpha, shift1, shift2) + emit
+        new = jnp.where(valid_s, new, _NEG_INF)
+        # Frames past input_length leave alpha untouched.
+        new = jnp.where((t < input_length)[:, None], new, alpha)
+        return new, None
+
+    ts = jnp.arange(1, T)
+    alpha_T, _ = jax.lax.scan(step, alpha0, (lp_tmajor[1:], ts))
+
+    # Loss = -logsumexp(alpha[2*label_len], alpha[2*label_len - 1]).
+    idx_last = 2 * label_length  # final blank position
+    idx_prev = jnp.maximum(2 * label_length - 1, 0)  # final label position
+    a_last = jnp.take_along_axis(alpha_T, idx_last[:, None], axis=1)[:, 0]
+    a_prev = jnp.take_along_axis(alpha_T, idx_prev[:, None], axis=1)[:, 0]
+    a_prev = jnp.where(label_length > 0, a_prev, _NEG_INF)
+    m = jnp.maximum(a_last, a_prev)
+    m_safe = jnp.maximum(m, _NEG_INF)
+    total = m_safe + jnp.log(jnp.exp(a_last - m_safe) + jnp.exp(a_prev - m_safe))
+    total = jnp.where(m > _NEG_INF / 2, total, _NEG_INF)
+    return -total
+
+
+def ctc_batch_cost(
+    labels: jnp.ndarray,
+    y_pred: jnp.ndarray,
+    input_length: jnp.ndarray,
+    label_length: jnp.ndarray,
+) -> jnp.ndarray:
+    """Drop-in equivalent of ``K.ctc_batch_cost`` (tf_keras backend.py:7143).
+
+    Args:
+      labels: (B, L) dense int labels.
+      y_pred: (B, T, C) post-softmax probabilities; blank = C-1.
+      input_length: (B, 1) or (B,) valid frame counts.
+      label_length: (B, 1) or (B,) valid label counts.
+
+    Returns:
+      (B, 1) float32 per-sample CTC loss.
+    """
+    B, T, C = y_pred.shape
+    # Keras: log(y_pred + eps); TF ctc_loss then log-softmaxes the "logits".
+    logits = jnp.log(y_pred.astype(jnp.float32) + KERAS_EPSILON)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    loss = ctc_forward_log_loss(
+        log_probs,
+        labels,
+        jnp.reshape(input_length, (B,)),
+        jnp.reshape(label_length, (B,)),
+        blank=C - 1,
+    )
+    return loss[:, None]
+
+
+def ctc_loss_from_log_probs(
+    log_probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    input_length: jnp.ndarray,
+    label_length: jnp.ndarray,
+) -> jnp.ndarray:
+    """CTC loss on already-normalized log-probs (training hot path).
+
+    The training step keeps everything in log-space (no exp->log round trip
+    through a softmax layer); blank = C-1 as everywhere in this framework.
+    Returns (B,) loss.
+    """
+    C = log_probs.shape[-1]
+    return ctc_forward_log_loss(
+        log_probs, labels, input_length, label_length, blank=C - 1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy decoding
+# ---------------------------------------------------------------------------
+
+
+def _pack_left(values: jnp.ndarray, keep: jnp.ndarray, pad_value: int):
+    """Left-pack kept elements of each row, pad tail with ``pad_value``.
+
+    Stable argsort on the drop-mask keeps original order of the kept
+    elements; everything stays statically shaped.
+    """
+    order = jnp.argsort(~keep, axis=-1, stable=True)
+    packed = jnp.take_along_axis(values, order, axis=-1)
+    counts = jnp.sum(keep, axis=-1, keepdims=True)
+    pos = jnp.arange(values.shape[-1])[None, :]
+    return jnp.where(pos < counts, packed, pad_value), counts[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("merge_repeated",))
+def ctc_greedy_decode(
+    y_pred: jnp.ndarray,
+    input_length: jnp.ndarray,
+    merge_repeated: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy CTC decode matching ``K.ctc_decode(..., greedy=True)``.
+
+    TF semantics (ctc_ops.py:299): argmax per frame over the raw inputs
+    (which Keras passes as ``log(y_pred + eps)``), only frames
+    ``t < input_length`` participate, adjacent repeats merge, blanks
+    (= C-1) drop; the returned score is ``neg_sum_logits``: minus the sum of
+    per-frame max logits over valid frames. Dense output pads with -1.
+
+    Returns:
+      decoded: (B, T) int32, -1 padded.
+      neg_sum_logits: (B, 1) float32.
+    """
+    B, T, C = y_pred.shape
+    blank = C - 1
+    logits = jnp.log(y_pred.astype(jnp.float32) + KERAS_EPSILON)
+    input_length = input_length.astype(jnp.int32).reshape(B)
+
+    best = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
+    maxval = jnp.max(logits, axis=-1)  # (B, T)
+
+    t_idx = jnp.arange(T)[None, :]
+    valid = t_idx < input_length[:, None]
+
+    neg_sum = -jnp.sum(jnp.where(valid, maxval, 0.0), axis=-1, keepdims=True)
+
+    prev = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), best[:, :-1]], 1)
+    keep = valid & (best != blank)
+    if merge_repeated:
+        # A frame is kept only if it differs from the previous *valid* frame.
+        # Frames are contiguous from t=0, so previous frame is t-1.
+        keep = keep & ((best != prev) | (t_idx == 0))
+    decoded, _ = _pack_left(best, keep, -1)
+    return decoded, neg_sum
+
+
+# ---------------------------------------------------------------------------
+# Beam-search decoding
+# ---------------------------------------------------------------------------
+
+
+def ctc_beam_search_decode(
+    y_pred: jnp.ndarray,
+    input_length: jnp.ndarray,
+    beam_width: int = 10,
+    top_paths: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched on-device CTC prefix beam search.
+
+    Matches ``K.ctc_decode(..., greedy=False)`` -> TF
+    ``ctc_beam_search_decoder`` (ctc_ops.py:382) with its defaults
+    (``merge_repeated=True`` at the TF level is a no-op for the returned
+    top paths because prefix beam search already merges into prefixes).
+
+    TF's C++ decoder normalizes the input "logits" with a log-softmax before
+    scoring; Keras feeds ``log(y_pred + eps)`` so the effective per-frame
+    scores are ``log_softmax(log(y_pred + eps))``. Scores returned are the
+    total log-probability of each prefix (sum over blank/non-blank endings).
+
+    Implementation: fixed-width prefix beam search as a ``lax.scan`` over
+    time. Beam state is a (B, W, T) prefix buffer plus (B, W) log-probs split
+    into blank-ending / non-blank-ending mass. Each step expands W beams by
+    (1 + K) candidates (stay + top-K symbol extensions), merges duplicates
+    (extension by the prefix's own last symbol after a blank vs. not), and
+    re-selects the top W.
+
+    For exact parity with TF's scorer (including tie-breaking) we expand with
+    *all* C-1 symbols rather than a pruned top-K: at OCR alphabet sizes
+    (C ~ 80-100) the (B, W, C) expansion is a small fully-vectorized block
+    that XLA handles easily.
+
+    Returns:
+      decoded: (top_paths, B, T) int32, -1 padded.
+      log_probs: (B, top_paths) float32 total prefix log-probabilities.
+    """
+    B, T, C = y_pred.shape
+    blank = C - 1
+    W = beam_width
+    logits = jnp.log(y_pred.astype(jnp.float32) + KERAS_EPSILON)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)  # (B, T, C)
+    input_length = input_length.astype(jnp.int32).reshape(B)
+
+    NEG = _NEG_INF
+
+    # Beam state:
+    #   prefixes: (B, W, T) int32, -1 padded
+    #   lengths:  (B, W)
+    #   p_b: (B, W) log prob of prefix ending in blank
+    #   p_nb: (B, W) log prob of prefix ending in its last symbol
+    prefixes0 = jnp.full((B, W, T), -1, jnp.int32)
+    lengths0 = jnp.zeros((B, W), jnp.int32)
+    p_b0 = jnp.full((B, W), NEG).at[:, 0].set(0.0)  # only empty prefix alive
+    p_nb0 = jnp.full((B, W), NEG)
+
+    def logaddexp(a, b):
+        m = jnp.maximum(a, b)
+        m_safe = jnp.maximum(m, NEG)
+        out = m_safe + jnp.log(jnp.exp(a - m_safe) + jnp.exp(b - m_safe))
+        return jnp.where(m > NEG / 2, out, NEG)
+
+    def step(state, inp):
+        prefixes, lengths, p_b, p_nb, t = state
+        lp = inp  # (B, C)
+
+        total = logaddexp(p_b, p_nb)  # (B, W)
+
+        lp_blank = lp[:, blank][:, None]  # (B, 1)
+        last_sym = jnp.take_along_axis(
+            prefixes, jnp.maximum(lengths - 1, 0)[:, :, None], axis=2
+        )[:, :, 0]  # (B, W)
+        last_sym = jnp.where(lengths > 0, last_sym, -1)
+
+        # --- candidates that KEEP the prefix (no growth) ---
+        # end in blank: (p_b + p_nb) * p(blank)
+        new_p_b = total + lp_blank
+        # repeat last symbol without blank: p_nb * p(last)
+        lp_last = jnp.take_along_axis(
+            lp, jnp.maximum(last_sym, 0), axis=1
+        )  # (B, W)
+        new_p_nb_same = jnp.where(lengths > 0, p_nb + lp_last, NEG)
+
+        # --- candidates that EXTEND the prefix by symbol c (growth) ---
+        # extend from blank-ending mass always; from non-blank-ending mass
+        # only when c != last symbol.
+        lp_sym = lp[:, None, :]  # (B, 1, C)
+        ext_from_b = p_b[:, :, None] + lp_sym  # (B, W, C)
+        c_idx = jnp.arange(C)[None, None, :]
+        not_same = c_idx != last_sym[:, :, None]
+        ext_from_nb = jnp.where(not_same, p_nb[:, :, None] + lp_sym, NEG)
+        ext_p_nb = logaddexp(ext_from_b, ext_from_nb)  # (B, W, C)
+        # blank cannot extend
+        ext_p_nb = ext_p_nb.at[:, :, blank].set(NEG)
+
+        # Merge duplicate candidates. Within one step, two kinds of duplicates
+        # arise: (a) extending beam i by c may equal extending beam j by c'
+        # (only if prefixes collide — TF handles via hashmap; with W small and
+        # prefixes unique by construction of previous merge, the only
+        # in-step collision is (a') extending beam i by its own last symbol
+        # [via blank] colliding with beam j that already equals that longer
+        # prefix and "stays". We merge exactly that case below by folding
+        # grown candidates into existing equal beams.
+        #
+        # Strategy: candidate set = W "stay" candidates (same prefixes,
+        # updated p_b/p_nb) + W*C "grow" candidates. For each grow candidate
+        # equal to an existing stay candidate, fold its mass into the stay
+        # candidate's p_nb and kill the grow candidate.
+
+        # Detect grow candidate (i, c) == stay candidate j:
+        # prefix_i + [c] == prefix_j  <=>  lengths_j == lengths_i + 1,
+        # prefix_j[:lengths_i] == prefix_i[:lengths_i], prefix_j[lengths_i]==c.
+        # (B, W, W) prefix-of relation between beams:
+        pos = jnp.arange(T)[None, None, None, :]
+        pi = prefixes[:, :, None, :]  # (B, W, 1, T)
+        pj = prefixes[:, None, :, :]  # (B, 1, W, T)
+        li = lengths[:, :, None]  # (B, W, 1)
+        lj = lengths[:, None, :]  # (B, 1, W)
+        eq_up_to_li = jnp.all(
+            (pos >= li[:, :, :, None]) | (pi == pj), axis=-1
+        )  # (B, W, W)
+        child = eq_up_to_li & (lj == li + 1)  # j extends i by one symbol
+        # symbol j adds: prefix_j[l_i]
+        sym_j = jnp.take_along_axis(
+            jnp.broadcast_to(pj, (B, W, W, T)),
+            jnp.broadcast_to(li[:, :, :, None], (B, W, W, 1)),
+            axis=3,
+        )[:, :, :, 0]  # (B, W, W)
+
+        # Fold: for each (i, c) grown candidate that equals stay beam j,
+        # add its mass into stay j's p_nb and remove from grow set.
+        grow_mass_to_j = jnp.where(
+            child,
+            jnp.take_along_axis(ext_p_nb, jnp.maximum(sym_j, 0), axis=2),
+            NEG,
+        )  # (B, W_i, W_j): mass from beam i extending into beam j
+        # total fold into j: logsumexp over i
+        fold_max = jnp.max(grow_mass_to_j, axis=1)  # (B, W)
+        fold_sum = jnp.sum(
+            jnp.exp(grow_mass_to_j - jnp.maximum(fold_max, NEG)[:, None, :]),
+            axis=1,
+        )
+        fold = jnp.where(
+            fold_max > NEG / 2,
+            fold_max + jnp.log(fold_sum),
+            NEG,
+        )  # (B, W)
+        new_p_nb_same = logaddexp(new_p_nb_same, fold)
+
+        # Kill folded grow candidates:
+        killed = jnp.any(child, axis=2)[:, :, None] & (
+            jax.nn.one_hot(
+                jnp.where(jnp.any(child, axis=2), 0, -1), C, dtype=bool
+            )
+            & False
+        )  # placeholder, see below
+        # Build kill mask properly: grow candidate (i, c) is killed iff
+        # exists j with child[i, j] and sym_j[i, j] == c.
+        kill = jnp.zeros((B, W, C), bool)
+        kill = jnp.any(
+            child[:, :, :, None]
+            & (sym_j[:, :, :, None] == jnp.arange(C)[None, None, None, :]),
+            axis=2,
+        )  # (B, W, C)
+        ext_p_nb = jnp.where(kill, NEG, ext_p_nb)
+
+        # --- assemble candidate pool ---
+        # stay candidates: W entries, score = logaddexp(new_p_b, new_p_nb_same)
+        stay_total = logaddexp(new_p_b, new_p_nb_same)
+        # grow candidates: W*C entries, p_b = NEG, p_nb = ext_p_nb
+        grow_total = ext_p_nb.reshape(B, W * C)
+
+        all_total = jnp.concatenate([stay_total, grow_total], axis=1)
+        # Deterministic tie-break: prefer earlier candidate index (stay
+        # beams first, then grow by (beam, symbol)) — matches TF's stable
+        # ordering of equal-score beams closely enough for goldens; exact
+        # tie cases are differential-tested.
+        topk_val, topk_idx = jax.lax.top_k(all_total, W)
+
+        is_stay = topk_idx < W
+        src_beam = jnp.where(is_stay, topk_idx, (topk_idx - W) // C)
+        sym = jnp.where(is_stay, -1, (topk_idx - W) % C)
+
+        sel_prefix = jnp.take_along_axis(
+            prefixes, src_beam[:, :, None], axis=1
+        )  # (B, W, T)
+        sel_len = jnp.take_along_axis(lengths, src_beam, axis=1)
+        # append symbol for grow candidates
+        app_pos = jnp.minimum(sel_len, T - 1)
+        appended = jnp.where(
+            (jnp.arange(T)[None, None, :] == app_pos[:, :, None])
+            & (~is_stay)[:, :, None],
+            sym[:, :, None],
+            sel_prefix,
+        )
+        new_prefixes = appended
+        new_lengths = jnp.where(is_stay, sel_len, sel_len + 1)
+
+        sel_p_b = jnp.where(
+            is_stay, jnp.take_along_axis(new_p_b, src_beam, axis=1), NEG
+        )
+        stay_p_nb = jnp.take_along_axis(new_p_nb_same, src_beam, axis=1)
+        grow_p_nb = jnp.take_along_axis(
+            ext_p_nb.reshape(B, W * C),
+            jnp.clip(topk_idx - W, 0, W * C - 1),
+            axis=1,
+        )
+        sel_p_nb = jnp.where(is_stay, stay_p_nb, grow_p_nb)
+
+        # Frames past input_length: state frozen.
+        active = (t < input_length)[:, None]
+        new_prefixes = jnp.where(active[:, :, None], new_prefixes, prefixes)
+        new_lengths = jnp.where(active, new_lengths, lengths)
+        sel_p_b = jnp.where(active, sel_p_b, p_b)
+        sel_p_nb = jnp.where(active, sel_p_nb, p_nb)
+
+        return (new_prefixes, new_lengths, sel_p_b, sel_p_nb, t + 1), None
+
+    state0 = (prefixes0, lengths0, p_b0, p_nb0, jnp.int32(0))
+    (prefixes, lengths, p_b, p_nb, _), _ = jax.lax.scan(
+        step, state0, jnp.transpose(log_probs, (1, 0, 2))
+    )
+
+    total = jnp.logaddexp(p_b, p_nb)
+    # top_paths best beams
+    order = jnp.argsort(-total, axis=1, stable=True)[:, :top_paths]
+    out_prefix = jnp.take_along_axis(
+        prefixes, order[:, :, None], axis=1
+    )  # (B, P, T)
+    out_scores = jnp.take_along_axis(total, order, axis=1)  # (B, P)
+
+    # TF's ctc_beam_search_decoder default merge_repeated=True collapses
+    # ADJACENT duplicate labels at emission time (a decode-output transform;
+    # the search itself still distinguishes the prefixes and the scores are
+    # unchanged). K.ctc_decode uses this default.
+    P = top_paths
+    flat = out_prefix.reshape(B * P, T)
+    prev = jnp.concatenate(
+        [jnp.full((B * P, 1), -2, jnp.int32), flat[:, :-1]], axis=1
+    )
+    keep = (flat != -1) & (flat != prev)
+    merged, _ = _pack_left(flat, keep, -1)
+    out_prefix = merged.reshape(B, P, T)
+
+    decoded = jnp.transpose(out_prefix, (1, 0, 2))  # (P, B, T)
+    return decoded, out_scores
+
+
+def ctc_decode(
+    y_pred: jnp.ndarray,
+    input_length: jnp.ndarray,
+    greedy: bool = True,
+    beam_width: int = 10,
+    top_paths: int = 1,
+):
+    """Drop-in equivalent of ``K.ctc_decode`` (tf_keras backend.py:7181).
+
+    Returns ``(decoded_list, log_prob)`` where ``decoded_list`` is a list of
+    ``top_paths`` dense (B, T) int32 arrays padded with -1 (greedy always
+    returns one), and ``log_prob`` is (B, top_paths) (greedy: (B, 1)
+    neg_sum_logits).
+    """
+    if greedy:
+        decoded, score = ctc_greedy_decode(y_pred, input_length)
+        return [decoded], score
+    decoded, scores = ctc_beam_search_decode(
+        y_pred, input_length, beam_width=beam_width, top_paths=top_paths
+    )
+    return [decoded[p] for p in range(top_paths)], scores
+
+
+def trim_dense(decoded) -> "list[list[int]]":
+    """Strip -1 padding: dense (B, T) -> list of python label lists."""
+    import numpy as np
+
+    decoded = np.asarray(decoded)
+    return [[int(v) for v in row if v != -1] for row in decoded]

@@ -1,0 +1,109 @@
+"""Golden-parity tests: JAX CTC loss vs tf_keras K.ctc_batch_cost oracle.
+
+Goldens were generated on this machine by tools/gen_goldens.py from
+tf_keras 2.21 (the exact backend the reference delegates to — SURVEY.md C12).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crnn_ocr_tpu.ops import ctc
+
+
+def test_ctc_batch_cost_matches_keras_goldens(goldens):
+    data = goldens("ctc_loss.npz")
+    n = int(data["n_cases"])
+    assert n >= 5
+    for i in range(n):
+        probs = data[f"case{i}_probs"]
+        labels = data[f"case{i}_labels"]
+        in_len = data[f"case{i}_input_len"]
+        lab_len = data[f"case{i}_label_len"]
+        want = data[f"case{i}_loss"]
+        got = np.asarray(ctc.ctc_batch_cost(labels, probs, in_len, lab_len))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4), i
+
+
+def test_ctc_loss_grad_finite_and_descends():
+    """Gradient sanity: finite, and an SGD step reduces the loss."""
+    rng = np.random.default_rng(0)
+    B, T, C, L = 3, 20, 12, 5
+    logits = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, C - 1, size=(B, L)), dtype=jnp.int32)
+    in_len = jnp.full((B,), T, jnp.int32)
+    lab_len = jnp.full((B,), L, jnp.int32)
+
+    def loss_fn(lg):
+        logp = jax.nn.log_softmax(lg, axis=-1)
+        return jnp.mean(
+            ctc.ctc_loss_from_log_probs(logp, labels, in_len, lab_len)
+        )
+
+    l0, g = jax.value_and_grad(loss_fn)(logits)
+    assert np.isfinite(l0)
+    assert np.all(np.isfinite(np.asarray(g)))
+    l1 = loss_fn(logits - 0.5 * g)
+    assert l1 < l0
+
+
+def test_ctc_loss_infeasible_is_large():
+    """Label longer than frames -> no valid alignment -> ~inf loss."""
+    B, T, C, L = 1, 4, 6, 4
+    probs = jnp.full((B, T, C), 1.0 / C)
+    labels = jnp.asarray([[1, 1, 1, 1]], jnp.int32)  # repeats need blanks: 8 frames
+    loss = ctc.ctc_batch_cost(
+        labels, probs, jnp.asarray([[T]]), jnp.asarray([[L]])
+    )
+    assert float(loss[0, 0]) > 1e20
+
+
+def test_ctc_loss_input_length_masking():
+    """Frames past input_length must not affect the loss."""
+    rng = np.random.default_rng(1)
+    B, T, C, L = 2, 16, 10, 3
+    probs = rng.random((B, T, C)).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    labels = rng.integers(0, C - 1, size=(B, L)).astype(np.int32)
+    in_len = np.array([[10], [12]], np.int32)
+    lab_len = np.full((B, 1), L, np.int32)
+
+    base = np.asarray(ctc.ctc_batch_cost(labels, probs, in_len, lab_len))
+    probs2 = probs.copy()
+    probs2[0, 10:] = 1.0 / C  # scramble masked frames
+    probs2[1, 12:] = 1.0 / C
+    got = np.asarray(ctc.ctc_batch_cost(labels, probs2, in_len, lab_len))
+    np.testing.assert_allclose(got, base, rtol=1e-6)
+
+
+def test_ctc_loss_matches_optax():
+    """Cross-check vs optax.ctc_loss (independent implementation)."""
+    import optax
+
+    rng = np.random.default_rng(2)
+    B, T, C, L = 4, 24, 15, 6
+    logits = rng.normal(size=(B, T, C)).astype(np.float32)
+    labels = rng.integers(1, C - 1, size=(B, L)).astype(np.int32)
+    lab_len = rng.integers(1, L + 1, size=(B,)).astype(np.int32)
+    labels = labels * (np.arange(L)[None, :] < lab_len[:, None])
+    in_len = np.full((B,), T, np.int32)
+
+    logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    # our convention: blank = C-1; optax: configurable blank_id
+    ours = ctc.ctc_forward_log_loss(
+        logp, jnp.asarray(labels), jnp.asarray(in_len), jnp.asarray(lab_len),
+        blank=C - 1,
+    )
+    logit_pad = np.zeros((B, T), np.float32)
+    label_pad = (np.arange(L)[None, :] >= lab_len[:, None]).astype(np.float32)
+    theirs = optax.ctc_loss(
+        jnp.asarray(logits),
+        jnp.asarray(logit_pad),
+        jnp.asarray(labels),
+        jnp.asarray(label_pad),
+        blank_id=C - 1,
+    )
+    # optax uses log_epsilon=-1e5 (leaks tiny probability mass); our exact
+    # -inf handling matches the Keras oracle tighter, so compare loosely here.
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs), rtol=1e-3, atol=1e-3)
