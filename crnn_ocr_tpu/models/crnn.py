@@ -1,0 +1,178 @@
+"""CRNN text-line recognizer, flax/linen, NHWC, TPU-first.
+
+TPU-native re-design of the reference's ``utils.py#CRNN`` builder
+(SURVEY.md C4): depthwise-separable conv backbone -> collapse height ->
+time-distributed dense -> stacked bidirectional GRU/LSTM -> class logits.
+Differences from the reference are deliberate TPU choices, not omissions:
+
+  * NHWC layout + bfloat16-ready compute path (MXU tiling).
+  * Depthwise convs via ``feature_group_count`` (XLA-native on TPU, C14).
+  * The recurrence is the batched two-direction scan in models/rnn.py (C16).
+  * The CTC head is NOT part of the model graph: Keras needed an in-graph
+    ``Lambda(ctc_lambda_func)`` + dummy loss (C6) because of fit()'s API; in
+    JAX the loss lives in the train step (crnn_ocr_tpu.train.step), and the
+    model exposes logits. The reference's ``[:, 2:, :]`` warm-up-frame slice
+    (C6) is applied by the train step via ``ModelConfig.ctc_time_slice``.
+
+The inference graph ends at softmax probabilities exactly like the
+reference's prediction model; decoding is crnn_ocr_tpu.ops.ctc.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from crnn_ocr_tpu.models.rnn import BiRNN
+from crnn_ocr_tpu.models.stn import STN
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Hyperparameters mirroring the reference CRNN's constructor knobs
+    (SURVEY.md C10: --n_units, --time_dense_size, GRU/LSTM choice, STN
+    toggle) plus layout knobs."""
+
+    num_classes: int = 80  # excluding blank; logits dim = num_classes + 1
+    height: int = 32
+    width: int = 128  # default bucket width
+    stem_filters: int = 64
+    block_filters: Sequence[int] = (128, 256, 256, 512)
+    # (pool_h, pool_w) per block; stem pools (2, 2). Height must collapse
+    # to 1: 32 / (2*2*2*2*2) with widths 2*2 -> T = width / 4.
+    block_pools: Sequence[Tuple[int, int]] = ((2, 2), (2, 1), (2, 1), (2, 1))
+    time_dense_size: int = 128
+    n_units: int = 256
+    rnn_layers: int = 2
+    rnn_cell: str = "gru"  # "gru" | "lstm"
+    dropout_rate: float = 0.2
+    use_stn: bool = False
+    # Frames dropped from the head of the CTC alignment (reference C6's
+    # y_pred[:, 2:, :] "early conv outputs are garbage" trick).
+    ctc_time_slice: int = 2
+    dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
+
+    @property
+    def logits_dim(self) -> int:
+        return self.num_classes + 1
+
+    @property
+    def blank_index(self) -> int:
+        return self.num_classes  # last class, Keras convention
+
+    @property
+    def width_downsample(self) -> int:
+        d = 2  # stem pool
+        for _, pw in self.block_pools:
+            d *= pw
+        return d
+
+    def time_steps(self, width: int | None = None) -> int:
+        return (width or self.width) // self.width_downsample
+
+
+class DepthwiseSeparableBlock(nn.Module):
+    """DepthwiseConv3x3 + pointwise 1x1 + BN + ReLU + pool + dropout (C14)."""
+
+    filters: int
+    pool: Tuple[int, int]
+    dropout_rate: float
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        x = nn.Conv(
+            in_ch,
+            (3, 3),
+            padding="SAME",
+            feature_group_count=in_ch,
+            use_bias=False,
+            dtype=self.dtype,
+            name="depthwise",
+        )(x)
+        x = nn.Conv(
+            self.filters,
+            (1, 1),
+            use_bias=False,
+            dtype=self.dtype,
+            name="pointwise",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, dtype=self.dtype, axis_name=None
+        )(x)
+        x = nn.relu(x)
+        if self.pool != (1, 1):
+            x = nn.max_pool(x, self.pool, strides=self.pool)
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return x
+
+
+class CRNN(nn.Module):
+    """The flagship model: images (B, H, W, 1) -> logits (B, T, C+1)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        x = x.astype(dtype)
+        if x.ndim == 3:
+            x = x[..., None]
+
+        if cfg.use_stn:
+            x = STN(dtype=dtype, name="stn")(x, train=train)
+
+        # Stem
+        x = nn.Conv(
+            cfg.stem_filters, (3, 3), padding="SAME", use_bias=False,
+            dtype=dtype, name="stem_conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, dtype=dtype, name="stem_bn"
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+
+        # Depthwise-separable backbone
+        for i, (filters, pool) in enumerate(
+            zip(cfg.block_filters, cfg.block_pools)
+        ):
+            x = DepthwiseSeparableBlock(
+                filters=filters,
+                pool=tuple(pool),
+                dropout_rate=cfg.dropout_rate,
+                dtype=dtype,
+                name=f"block{i}",
+            )(x, train=train)
+
+        # Collapse height into features: (B, H', T, C) -> (B, T, H'*C).
+        B, Hp, T, C = x.shape
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(B, T, Hp * C)
+
+        # Time-distributed bottleneck (reference's time_dense_size).
+        x = nn.Dense(cfg.time_dense_size, dtype=dtype, name="time_dense")(x)
+        x = nn.relu(x)
+
+        for i in range(cfg.rnn_layers):
+            x = BiRNN(
+                units=cfg.n_units, cell=cfg.rnn_cell, dtype=dtype,
+                name=f"birnn{i}",
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, dtype=dtype, name=f"rnn_bn{i}"
+            )(x)
+
+        logits = nn.Dense(
+            cfg.logits_dim, dtype=jnp.float32, name="logits"
+        )(x)
+        return logits.astype(jnp.float32)
+
+
+def build_model(cfg: ModelConfig) -> CRNN:
+    return CRNN(cfg=cfg)

@@ -1,0 +1,141 @@
+"""Bidirectional GRU/LSTM as MXU-friendly time-major scans.
+
+TPU-native replacement for the reference's ``Bidirectional(GRU/LSTM(...))``
+layers (SURVEY.md C16), which Keras executes as a TF ``while_loop`` per
+direction. Design (SURVEY.md §7.5 "BiGRU on MXU"):
+
+  * The input projection ``x @ W`` for ALL timesteps and BOTH directions is
+    hoisted out of the recurrence into one large batched matmul
+    ((T*B, F) @ (F, 2*3H)) that tiles onto the 128x128 MXU.
+  * Only the hidden-to-hidden matmul stays inside ``lax.scan``; forward and
+    backward directions run in a single scan with the backward input
+    time-reversed, so the per-step matmul is (2B, H) @ (H, 3H) instead of
+    two (B, H) matmuls — twice the MXU occupancy for the same latency.
+  * Gate equations follow Keras conventions exactly (GRU: reset_after=True,
+    gate order z|r|h, dual bias; LSTM: gate order i|f|c|o, unit forget bias)
+    so reference .h5 weights can be imported 1:1 for equal-weight parity.
+
+A fused Pallas cell (weights resident in VMEM across timesteps) is the
+planned optimization in crnn_ocr_tpu.kernels once profiling justifies it.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BiRNN(nn.Module):
+    """Bidirectional GRU/LSTM with concatenated outputs (Keras-equivalent).
+
+    Input/output are batch-major (B, T, F) -> (B, T, 2*units).
+    """
+
+    units: int
+    cell: Literal["gru", "lstm"] = "gru"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, T, F = x.shape
+        H = self.units
+        ngates = 3 if self.cell == "gru" else 4
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(),
+            (2, F, ngates * H),
+            self.dtype,
+        )
+        recurrent_kernel = self.param(
+            "recurrent_kernel",
+            nn.initializers.orthogonal(),
+            (2, H, ngates * H),
+            self.dtype,
+        )
+        if self.cell == "gru":
+            # Keras reset_after=True: separate input/recurrent biases.
+            bias = self.param(
+                "bias", nn.initializers.zeros, (2, 2, ngates * H), self.dtype
+            )
+        else:
+
+            def lstm_bias_init(key, shape, dtype):
+                # Keras unit_forget_bias: f-gate bias starts at 1.
+                b = jnp.zeros(shape, dtype)
+                return b.at[..., H : 2 * H].set(1.0)
+
+            bias = self.param(
+                "bias", lstm_bias_init, (2, ngates * H), self.dtype
+            )
+
+        x = x.astype(self.dtype)
+        # (2, T, B, F): dir 0 forward, dir 1 time-reversed for the bwd pass.
+        xt = jnp.transpose(x, (1, 0, 2))
+        x2 = jnp.stack([xt, xt[::-1]], axis=0)
+
+        # Hoisted input projection: one big MXU matmul per direction.
+        xw = jnp.einsum(
+            "dtbf,dfg->dtbg", x2, kernel,
+            preferred_element_type=jnp.float32,
+        )
+        if self.cell == "gru":
+            xw = xw + bias[:, 0][:, None, None, :]
+            rec_bias = bias[:, 1]  # (2, 3H)
+        else:
+            xw = xw + bias[:, None, None, :]
+            rec_bias = None
+
+        h0 = jnp.zeros((2, B, H), self.dtype)
+
+        if self.cell == "gru":
+
+            def step(h, xw_t):
+                # h: (2, B, H); xw_t: (2, B, 3H)
+                rec = (
+                    jnp.einsum(
+                        "dbh,dhg->dbg", h, recurrent_kernel,
+                        preferred_element_type=jnp.float32,
+                    )
+                    + rec_bias[:, None, :]
+                )
+                xz, xr, xh = jnp.split(xw_t, 3, axis=-1)
+                rz, rr, rh = jnp.split(rec, 3, axis=-1)
+                z = jax.nn.sigmoid(xz + rz)
+                r = jax.nn.sigmoid(xr + rr)
+                hh = jnp.tanh(xh + r * rh)
+                h_new = z * h + (1.0 - z) * hh
+                return h_new, h_new
+
+            _, hs = jax.lax.scan(step, h0, jnp.transpose(xw, (1, 0, 2, 3)))
+        else:
+            c0 = jnp.zeros((2, B, H), self.dtype)
+
+            def step(carry, xw_t):
+                h, c = carry
+                rec = jnp.einsum(
+                    "dbh,dhg->dbg", h, recurrent_kernel,
+                    preferred_element_type=jnp.float32,
+                )
+                gates = xw_t + rec
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                i = jax.nn.sigmoid(i)
+                f = jax.nn.sigmoid(f)
+                g = jnp.tanh(g)
+                o = jax.nn.sigmoid(o)
+                c_new = f * c + i * g
+                h_new = o * jnp.tanh(c_new)
+                return (h_new, c_new), h_new
+
+            _, hs = jax.lax.scan(
+                step, (h0, c0), jnp.transpose(xw, (1, 0, 2, 3))
+            )
+
+        # hs: (T, 2, B, H) -> forward as-is, backward un-reversed.
+        fwd = hs[:, 0]  # (T, B, H)
+        bwd = hs[::-1, 1]  # (T, B, H)
+        out = jnp.concatenate([fwd, bwd], axis=-1)  # (T, B, 2H)
+        return jnp.transpose(out, (1, 0, 2))  # (B, T, 2H)

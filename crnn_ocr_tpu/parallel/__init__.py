@@ -1,0 +1,17 @@
+from crnn_ocr_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_batch_to,
+    replicate_state,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "pad_batch_to",
+    "replicate_state",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,84 @@
+"""Checkpoint/resume via orbax over TensorStore (SURVEY.md §5.4).
+
+The reference saved best/latest .h5 weights + architecture JSON +
+classes.pkl via Keras ModelCheckpoint; optimizer state was lost on resume.
+Here the FULL train state (params, optimizer slots, BN stats, step) persists
+atomically, alongside the model config and label codec, so resume is exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from crnn_ocr_tpu.data.codec import LabelCodec
+from crnn_ocr_tpu.models import ModelConfig
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(
+        self,
+        step: int,
+        state: Any,
+        model_cfg: Optional[ModelConfig] = None,
+        codec: Optional[LabelCodec] = None,
+        metrics: Optional[dict] = None,
+    ) -> None:
+        self._mgr.save(
+            step, args=ocp.args.StandardSave(jax.tree.map(lambda x: x, state))
+        )
+        if model_cfg is not None:
+            cfg_dict = dataclasses.asdict(model_cfg)
+            # tuples -> lists for JSON round-trip
+            with open(os.path.join(self.directory, "model_config.json"), "w") as f:
+                json.dump(cfg_dict, f, indent=1, default=list)
+        if codec is not None:
+            codec.save(os.path.join(self.directory, "classes.json"))
+        if metrics is not None:
+            with open(
+                os.path.join(self.directory, f"metrics_{step}.json"), "w"
+            ) as f:
+                json.dump(
+                    {k: float(v) for k, v in metrics.items()}, f, indent=1
+                )
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, abstract_state: Any, step: Optional[int] = None) -> Any:
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract_state)
+        )
+
+
+def load_model_config(directory: str) -> ModelConfig:
+    with open(os.path.join(directory, "model_config.json")) as f:
+        d = json.load(f)
+    d["block_filters"] = tuple(d["block_filters"])
+    d["block_pools"] = tuple(tuple(p) for p in d["block_pools"])
+    return ModelConfig(**d)
+
+
+def load_codec(directory: str) -> LabelCodec:
+    return LabelCodec.load(os.path.join(directory, "classes.json"))

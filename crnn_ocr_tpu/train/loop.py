@@ -1,0 +1,167 @@
+"""Training orchestration: the fit loop (reference L3, train.py).
+
+Replaces Keras ``fit_generator`` + callbacks (ModelCheckpoint/EarlyStopping,
+SURVEY.md C10) with an explicit loop: prefetched device batches ->
+jitted SPMD train step -> periodic greedy-decode validation (CER/WER) ->
+orbax checkpointing of the best/latest full train state -> JSONL metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from crnn_ocr_tpu.data.codec import LabelCodec
+from crnn_ocr_tpu.models import ModelConfig
+from crnn_ocr_tpu.ops import ctc
+from crnn_ocr_tpu.train import step as step_lib
+from crnn_ocr_tpu.train.checkpoint import CheckpointManager
+from crnn_ocr_tpu.train.state import TrainState
+from crnn_ocr_tpu.utils import metrics as metrics_lib
+
+
+@dataclasses.dataclass
+class FitConfig:
+    steps: int = 1000
+    eval_every: int = 200
+    eval_batches: int = 8
+    checkpoint_dir: Optional[str] = None
+    early_stop_patience: int = 0  # 0 = off; counts evals without improvement
+    log_every: int = 50
+    metrics_path: Optional[str] = None  # JSONL stream
+    seed: int = 0
+    exact_keras_loss: bool = False
+    mesh=None  # optional jax.sharding.Mesh for DP
+
+
+def fit(
+    state: TrainState,
+    model_cfg: ModelConfig,
+    train_iter: Iterator[Dict],
+    eval_iter_fn: Optional[Callable[[], Iterator[Dict]]] = None,
+    codec: Optional[LabelCodec] = None,
+    cfg: FitConfig = FitConfig(),
+) -> TrainState:
+    train_step = step_lib.make_train_step(
+        model_cfg, exact_keras=cfg.exact_keras_loss
+    )
+    eval_step = step_lib.make_eval_step(model_cfg)
+    rng = jax.random.key(cfg.seed)
+
+    ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    mfile = open(cfg.metrics_path, "a") if cfg.metrics_path else None
+
+    if cfg.mesh is not None:
+        from crnn_ocr_tpu.parallel import mesh as mesh_lib
+
+        state = mesh_lib.replicate_state(state, cfg.mesh)
+
+    best_cer = float("inf")
+    evals_since_improve = 0
+    t_start = time.time()
+    ema_loss = None
+    lines_seen = 0
+
+    def log(rec: dict):
+        if mfile:
+            mfile.write(json.dumps(rec) + "\n")
+            mfile.flush()
+
+    for i, batch in enumerate(train_iter):
+        if i >= cfg.steps:
+            break
+        texts = batch.pop("texts", None)
+        if cfg.mesh is not None:
+            from crnn_ocr_tpu.parallel import mesh as mesh_lib
+
+            batch = mesh_lib.shard_batch(batch, cfg.mesh)
+        batch.pop("bucket", None)
+        state, m = train_step(state, batch, rng)
+        lines_seen += int(batch["x"].shape[0])
+
+        if (i + 1) % cfg.log_every == 0 or i == 0:
+            loss = float(m["loss"])
+            ema_loss = loss if ema_loss is None else 0.9 * ema_loss + 0.1 * loss
+            dt = time.time() - t_start
+            rec = {
+                "step": i + 1,
+                "loss": loss,
+                "ema_loss": ema_loss,
+                "grad_norm": float(m["grad_norm"]),
+                "lines_per_sec": lines_seen / dt,
+                "wall": dt,
+            }
+            print(
+                f"step {i+1:6d} loss {loss:9.4f} ema {ema_loss:9.4f} "
+                f"gnorm {rec['grad_norm']:8.3f} {rec['lines_per_sec']:8.1f} lines/s",
+                file=sys.stderr,
+            )
+            log({"kind": "train", **rec})
+
+        if eval_iter_fn and (i + 1) % cfg.eval_every == 0:
+            ev = evaluate(
+                state, eval_step, eval_iter_fn(), codec, cfg.eval_batches
+            )
+            ev["step"] = i + 1
+            print(
+                f"eval  step {i+1}: loss {ev['loss']:.4f} CER {ev['cer']:.4f} "
+                f"WER {ev['wer']:.4f} acc {ev['seq_acc']:.4f}",
+                file=sys.stderr,
+            )
+            log({"kind": "eval", **ev})
+            if ckpt:
+                ckpt.save(i + 1, state, model_cfg, codec, metrics=ev)
+            if ev["cer"] < best_cer - 1e-6:
+                best_cer = ev["cer"]
+                evals_since_improve = 0
+            else:
+                evals_since_improve += 1
+                if (
+                    cfg.early_stop_patience
+                    and evals_since_improve >= cfg.early_stop_patience
+                ):
+                    print("early stopping", file=sys.stderr)
+                    break
+
+    if ckpt:
+        ckpt.save(int(state.step), state, model_cfg, codec)
+        ckpt.wait()
+    if mfile:
+        mfile.close()
+    return state
+
+
+def evaluate(
+    state: TrainState,
+    eval_step,
+    eval_iter: Iterator[Dict],
+    codec: Optional[LabelCodec],
+    max_batches: int = 8,
+) -> Dict[str, float]:
+    losses, preds, refs = [], [], []
+    for j, batch in enumerate(eval_iter):
+        if j >= max_batches:
+            break
+        texts = batch.pop("texts", None)
+        batch.pop("bucket", None)
+        loss_vec, decoded = eval_step(state, batch)
+        losses.append(np.asarray(loss_vec))
+        if codec is not None and texts is not None:
+            for row, ref in zip(ctc.trim_dense(decoded), texts):
+                preds.append(codec.labels_to_text(row))
+                refs.append(ref)
+    out = {"loss": float(np.mean(np.concatenate(losses)))}
+    if refs:
+        out["cer"] = metrics_lib.cer(preds, refs)
+        out["wer"] = metrics_lib.wer(preds, refs)
+        out["seq_acc"] = metrics_lib.sequence_accuracy(preds, refs)
+    else:
+        out.update({"cer": float("nan"), "wer": float("nan"), "seq_acc": float("nan")})
+    return out

@@ -1,0 +1,74 @@
+"""Train state: params + optimizer + BN stats + step, one pytree.
+
+The reference's training state was implicit in Keras (model weights +
+optimizer slots inside fit(); BN moving stats inside layers; optimizer state
+NOT checkpointed — SURVEY.md §5.4). Here it's an explicit flax TrainState so
+the whole thing checkpoints/resumes atomically via orbax.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+from crnn_ocr_tpu.models import CRNN, ModelConfig
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = struct.field(default=None)
+
+
+def make_optimizer(
+    name: str = "adam",
+    learning_rate: float = 1e-3,
+    clipnorm: float = 5.0,
+) -> optax.GradientTransformation:
+    """The reference exposes an optimizer-choice flag (C10); same menu."""
+    name = name.lower()
+    if name == "adam":
+        tx = optax.adam(learning_rate)
+    elif name == "sgd":
+        tx = optax.sgd(learning_rate, momentum=0.9)
+    elif name == "rmsprop":
+        tx = optax.rmsprop(learning_rate)
+    elif name == "adadelta":
+        tx = optax.adadelta(learning_rate)
+    elif name == "adamw":
+        tx = optax.adamw(learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    if clipnorm:
+        tx = optax.chain(optax.clip_by_global_norm(clipnorm), tx)
+    return tx
+
+
+def create_train_state(
+    cfg: ModelConfig,
+    rng: jax.Array,
+    optimizer: str = "adam",
+    learning_rate: float = 1e-3,
+    batch_size: int = 2,
+) -> TrainState:
+    model = CRNN(cfg=cfg)
+    x = jnp.zeros((batch_size, cfg.height, cfg.width, 1), jnp.float32)
+    p_rng, d_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": p_rng, "dropout": d_rng}, x, train=False
+    )
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=make_optimizer(optimizer, learning_rate),
+        batch_stats=variables["batch_stats"],
+    )
+
+
+def param_count(state: TrainState) -> int:
+    return sum(
+        int(jnp.size(p)) for p in jax.tree_util.tree_leaves(state.params)
+    )

@@ -1,0 +1,130 @@
+"""Jitted train/eval steps: forward + CTC loss + grads, SPMD-ready.
+
+Replicates the reference's per-step math (SURVEY.md §3.1 hot loop):
+conv/BiRNN/softmax forward -> ``ctc_lambda_func`` -> ``K.ctc_batch_cost`` —
+but fully on-device (the reference's CTC kernel ran on the host CPU, paying a
+device->host softmax copy every step).
+
+Loss modes:
+  * ``exact_keras``: softmax -> ctc_batch_cost (log(p+1e-7), re-log-softmax)
+    — gradient-level parity with the reference.
+  * fast path: log_softmax -> CTC directly (one fewer exp/log round trip,
+    mathematically the eps-free limit). Default for new training runs.
+
+Parallelism: the step is written for GSPMD — jit it with the batch sharded
+over a ``('data',)`` mesh and params replicated (crnn_ocr_tpu.parallel).
+XLA then inserts the gradient all-reduce and computes BatchNorm statistics
+over the *global* batch (sync-BN for free). No explicit collectives needed —
+this is the TPU-native equivalent of the reference's ``multi_gpu_model`` DP
+(SURVEY.md §2.3 row P1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from crnn_ocr_tpu.models import ModelConfig
+from crnn_ocr_tpu.ops import ctc
+from crnn_ocr_tpu.train.state import TrainState
+
+
+def ctc_loss_vec(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    input_length: jnp.ndarray,
+    label_length: jnp.ndarray,
+    ctc_time_slice: int = 2,
+    exact_keras: bool = False,
+) -> jnp.ndarray:
+    """Per-sample CTC loss from raw logits, applying the reference's
+    ``[:, 2:, :]`` warm-up-frame slice (C6). ``input_length`` must already
+    be post-slice (pipeline.py handles that)."""
+    sliced = logits[:, ctc_time_slice:, :]
+    if exact_keras:
+        probs = jax.nn.softmax(sliced, axis=-1)
+        return ctc.ctc_batch_cost(labels, probs, input_length, label_length)[
+            :, 0
+        ]
+    log_probs = jax.nn.log_softmax(sliced, axis=-1)
+    return ctc.ctc_loss_from_log_probs(
+        log_probs, labels, input_length, label_length
+    )
+
+
+def make_train_step(
+    model_cfg: ModelConfig, exact_keras: bool = False, donate: bool = True
+):
+    """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``."""
+
+    def train_step(
+        state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["x"][..., None],
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            loss_vec = ctc_loss_vec(
+                logits,
+                batch["the_labels"],
+                batch["input_length"],
+                batch["label_length"],
+                ctc_time_slice=model_cfg.ctc_time_slice,
+                exact_keras=exact_keras,
+            )
+            # Guard: an infeasible sample (label longer than frames) has
+            # ~inf loss; clip its contribution so one bad line can't nuke
+            # the step.
+            loss_vec = jnp.minimum(loss_vec, 1e4)
+            return jnp.mean(loss_vec), mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads=grads).replace(
+            batch_stats=new_stats
+        )
+        gnorm = optax_global_norm(grads)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def optax_global_norm(tree: Any) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def make_eval_step(model_cfg: ModelConfig):
+    """Jitted ``eval_step(state, batch) -> (loss_vec, decoded, logits)``:
+    inference-mode forward + greedy decode (the per-epoch validation the
+    reference prints via edit distance, C9)."""
+
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["x"][..., None],
+            train=False,
+        )
+        loss_vec = ctc_loss_vec(
+            logits,
+            batch["the_labels"],
+            batch["input_length"],
+            batch["label_length"],
+            ctc_time_slice=model_cfg.ctc_time_slice,
+            exact_keras=False,
+        )
+        probs = jax.nn.softmax(logits[:, model_cfg.ctc_time_slice :, :], -1)
+        decoded, _ = ctc.ctc_greedy_decode(probs, batch["input_length"])
+        return loss_vec, decoded
+
+    return jax.jit(eval_step)

@@ -2,19 +2,27 @@
 
 Tests run on a simulated 8-device CPU mesh (SURVEY.md §4 distributed test
 strategy): hermetic, fast, and validates multi-chip sharding logic without a
-TPU pod. Environment must be set before jax is first imported.
+TPU pod.
+
+IMPORTANT environment quirk: this machine's ``PYTHONPATH`` injects
+``/root/.axon_site/sitecustomize.py``, which imports jax at interpreter start
+to register the axon (TPU-tunnel) PJRT backend and bakes ``JAX_PLATFORMS=axon``
+into jax's config. Setting the env var here is therefore too late — we must
+use ``jax.config.update``. ``XLA_FLAGS`` is still read at first backend
+initialization, so setting it here (before any jax op runs) works.
 """
 
 import os
 
-# Hard-set (not setdefault): the machine env pins JAX_PLATFORMS=axon (the
-# real-TPU tunnel); tests must run on the simulated 8-device CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
@@ -33,3 +41,8 @@ def goldens():
         return np.load(path)
 
     return load
+
+
+def pytest_collection_modifyitems(config, items):
+    # Deterministic ordering keeps compile-cache reuse predictable.
+    items.sort(key=lambda it: it.nodeid)

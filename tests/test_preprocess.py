@@ -1,0 +1,82 @@
+"""Preprocessing contract tests (reference C1): resize-h32 / pad-white /
+per-image normalize, device-fused graph vs the cv2 host oracle."""
+
+import numpy as np
+import pytest
+
+from crnn_ocr_tpu.ops import preprocess
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _rand_img(rng, h, w):
+    # text-line-like: smooth background + strokes
+    img = rng.integers(180, 255, size=(h, w)).astype(np.uint8)
+    for _ in range(6):
+        y = int(rng.integers(0, h))
+        x0, x1 = sorted(rng.integers(0, w, 2))
+        img[max(0, y - 1) : y + 1, x0 : x1 + 1] = rng.integers(0, 60)
+    return img
+
+
+def test_device_preprocess_matches_cv2_oracle():
+    rng = np.random.default_rng(0)
+    sizes = [(48, 200), (32, 128), (64, 300), (100, 90), (17, 40)]
+    images = [_rand_img(rng, h, w) for h, w in sizes]
+    canvas, heights, widths = preprocess.pack_canvas(images)
+
+    got, wnew = preprocess.preprocess_batch(
+        canvas, heights, widths, out_h=32, out_w=128, normalize=True
+    )
+    got = np.asarray(got)
+
+    for i, img in enumerate(images):
+        want = preprocess.preprocess_host(img, out_h=32, out_w=128)
+        # Interior must agree closely; resampling boundary columns can
+        # differ by one blend step between cv2 and scale_and_translate.
+        w_content = int(wnew[i])
+        diff = np.abs(got[i][:, : max(1, w_content - 2)] - want[:, : max(1, w_content - 2)])
+        assert diff.mean() < 0.05, (i, diff.mean())
+        assert diff.max() < 0.7, (i, diff.max())
+        # padding region identical (both are the normalized white value)
+        if w_content + 2 < 128:
+            np.testing.assert_allclose(
+                got[i][:, w_content + 2 :],
+                want[:, w_content + 2 :],
+                atol=1e-2,
+            )
+
+
+def test_content_width_formula():
+    rng = np.random.default_rng(1)
+    images = [_rand_img(rng, 64, 256)]
+    canvas, heights, widths = preprocess.pack_canvas(images)
+    _, wnew = preprocess.preprocess_batch(
+        canvas, heights, widths, out_h=32, out_w=192
+    )
+    assert int(wnew[0]) == round(256 * 32 / 64)
+
+
+def test_normalize_stats():
+    rng = np.random.default_rng(2)
+    images = [_rand_img(rng, 40, 100) for _ in range(3)]
+    canvas, heights, widths = preprocess.pack_canvas(images)
+    x, _ = preprocess.preprocess_batch(
+        canvas, heights, widths, out_h=32, out_w=128, normalize=True
+    )
+    x = np.asarray(x)
+    means = x.mean(axis=(1, 2))
+    stds = x.std(axis=(1, 2))
+    np.testing.assert_allclose(means, 0.0, atol=1e-4)
+    np.testing.assert_allclose(stds, 1.0, atol=1e-2)
+
+
+def test_no_normalize_range():
+    rng = np.random.default_rng(3)
+    images = [_rand_img(rng, 40, 100)]
+    canvas, heights, widths = preprocess.pack_canvas(images)
+    x, _ = preprocess.preprocess_batch(
+        canvas, heights, widths, out_h=32, out_w=128, normalize=False
+    )
+    x = np.asarray(x)
+    assert x.min() >= -1e-6 and x.max() <= 1.0 + 1e-6

@@ -1,0 +1,102 @@
+"""Integration: tiny synthetic train run -> loss drops, decode recovers text
+(SURVEY.md §4 'integration' row), plus checkpoint save/restore round-trip."""
+
+import jax
+import numpy as np
+import pytest
+
+from crnn_ocr_tpu.data import SyntheticConfig, SyntheticTextlines
+from crnn_ocr_tpu.data.pipeline import device_batches, synthetic_batches
+from crnn_ocr_tpu.models import ModelConfig
+from crnn_ocr_tpu.train import (
+    FitConfig,
+    create_train_state,
+    fit,
+    make_eval_step,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    synth = SyntheticTextlines(
+        SyntheticConfig(alphabet="0123456789", min_len=2, max_len=5)
+    )
+    cfg = ModelConfig(
+        num_classes=synth.codec.num_classes,
+        width=128,
+        stem_filters=16,
+        block_filters=(24, 32, 32, 48),
+        time_dense_size=24,
+        n_units=32,
+        rnn_layers=1,
+        dropout_rate=0.0,
+    )
+    state = create_train_state(cfg, jax.random.key(0), learning_rate=3e-3)
+    return synth, cfg, state
+
+
+def _batches(synth, batch_size=16, steps=None, seed=0):
+    host = synthetic_batches(
+        batch_size=batch_size, bucket=128, steps=steps, seed=seed, synth=synth
+    )
+    return device_batches(host, prefetch=0)
+
+
+@pytest.mark.slow
+def test_tiny_training_learns(tiny_setup, tmp_path):
+    synth, cfg, state = tiny_setup
+
+    fitcfg = FitConfig(
+        steps=120,
+        eval_every=60,
+        eval_batches=2,
+        log_every=40,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        metrics_path=str(tmp_path / "metrics.jsonl"),
+    )
+    state = fit(
+        state,
+        cfg,
+        _batches(synth, steps=120),
+        eval_iter_fn=lambda: _batches(synth, seed=123, steps=2),
+        codec=synth.codec,
+        cfg=fitcfg,
+    )
+
+    # After 120 steps on a 10-char alphabet the loss must have dropped
+    # substantially and decoding must recover most training strings.
+    import json
+
+    recs = [
+        json.loads(l) for l in open(str(tmp_path / "metrics.jsonl"))
+    ]
+    first = next(r for r in recs if r["kind"] == "train")
+    evals = [r for r in recs if r["kind"] == "eval"]
+    assert evals, "no eval records"
+    assert evals[-1]["loss"] < first["loss"] * 0.5
+    assert evals[-1]["cer"] < 0.5
+
+    # checkpoint round-trip restores identical params
+    from crnn_ocr_tpu.train import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape")
+        else x,
+        state,
+    )
+    restored = mgr.restore(abstract)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # config + codec reload
+    from crnn_ocr_tpu.train import load_codec, load_model_config
+
+    cfg2 = load_model_config(str(tmp_path / "ckpt"))
+    assert cfg2 == cfg
+    codec2 = load_codec(str(tmp_path / "ckpt"))
+    assert codec2.classes == synth.codec.classes
