@@ -1,0 +1,177 @@
+"""Training CLI (reference L3: ``python3 train.py --flags``, SURVEY.md C10).
+
+Flag set mirrors the reference's knobs (paths/annotations, save dir, epochs/
+steps, batch size, --n_units, --time_dense_size, optimizer, --norm, --stn,
+GRU/LSTM, dataset layout, early stopping) plus TPU-native ones (mesh size,
+bf16, loss mode). ``--dataset synthetic`` trains on the built-in glyph task
+(no corpus needed — this environment has no IAM mount).
+
+Examples:
+  python -m crnn_ocr_tpu.cli.train --dataset synthetic --steps 500 \
+      --save_path /tmp/model
+  python -m crnn_ocr_tpu.cli.train --path /data/iam --train_portion words \
+      --annotation annotation.txt --steps 20000 --save_path /models/iam
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # data
+    p.add_argument("--dataset", default="files", choices=["files", "synthetic"])
+    p.add_argument("--path", help="image directory (files dataset)")
+    p.add_argument("--annotation", default="annotation.txt")
+    p.add_argument(
+        "--layout", default="annotation", choices=["annotation", "filename"]
+    )
+    p.add_argument("--val_fraction", type=float, default=0.1)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--max_label_len", type=int, default=32)
+    p.add_argument(
+        "--buckets", type=int, nargs="+", default=[64, 128, 192, 256]
+    )
+    p.add_argument("--no-norm", dest="norm", action="store_false",
+                   help="disable per-image normalization")
+    p.add_argument("--augment", action="store_true")
+    # model
+    p.add_argument("--n_units", type=int, default=256)
+    p.add_argument("--time_dense_size", type=int, default=128)
+    p.add_argument("--rnn", default="gru", choices=["gru", "lstm"])
+    p.add_argument("--rnn_layers", type=int, default=2)
+    p.add_argument("--stn", action="store_true")
+    p.add_argument("--dropout", type=float, default=0.2)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    # optimization
+    p.add_argument("--opt", default="adam",
+                   choices=["adam", "sgd", "rmsprop", "adadelta", "adamw"])
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--steps", type=int, default=5000)
+    p.add_argument("--eval_every", type=int, default=500)
+    p.add_argument("--early_stop_patience", type=int, default=0)
+    p.add_argument("--exact_keras_loss", action="store_true")
+    # infra
+    p.add_argument("--save_path", required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="data-parallel mesh size (0 = all devices)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+
+    from crnn_ocr_tpu.data import (
+        Reader,
+        ReaderConfig,
+        SyntheticConfig,
+        SyntheticTextlines,
+        device_batches,
+        synthetic_batches,
+    )
+    from crnn_ocr_tpu.models import ModelConfig
+    from crnn_ocr_tpu.train import FitConfig, create_train_state, fit, param_count
+
+    if args.dataset == "synthetic":
+        synth = SyntheticTextlines(SyntheticConfig(augment=args.augment))
+        codec = synth.codec
+
+        def train_iter():
+            return device_batches(
+                synthetic_batches(
+                    batch_size=args.batch_size, synth=synth, seed=args.seed
+                ),
+                normalize=args.norm,
+            )
+
+        def eval_iter():
+            return device_batches(
+                synthetic_batches(
+                    batch_size=args.batch_size, synth=synth, seed=999
+                ),
+                normalize=args.norm,
+            )
+
+    else:
+        if not args.path:
+            print("--path required for files dataset", file=sys.stderr)
+            return 2
+        reader = Reader(
+            ReaderConfig(
+                path=args.path,
+                annotation=args.annotation,
+                layout=args.layout,
+                batch_size=args.batch_size,
+                val_fraction=args.val_fraction,
+                max_label_len=args.max_label_len,
+                buckets=tuple(args.buckets),
+                shuffle_seed=args.seed,
+            )
+        )
+        codec = reader.codec
+
+        def train_iter():
+            return device_batches(
+                reader.run_generator(train=True), normalize=args.norm
+            )
+
+        def eval_iter():
+            return device_batches(
+                reader.run_generator(train=False, epochs=1),
+                normalize=args.norm,
+            )
+
+    cfg = ModelConfig(
+        num_classes=codec.num_classes,
+        n_units=args.n_units,
+        time_dense_size=args.time_dense_size,
+        rnn_cell=args.rnn,
+        rnn_layers=args.rnn_layers,
+        use_stn=args.stn,
+        dropout_rate=args.dropout,
+        dtype=args.dtype,
+    )
+    state = create_train_state(
+        cfg, jax.random.key(args.seed), optimizer=args.opt,
+        learning_rate=args.lr, batch_size=args.batch_size,
+    )
+    print(
+        f"devices: {jax.devices()}  params: {param_count(state)/1e6:.2f}M",
+        file=sys.stderr,
+    )
+    mesh = None
+    n_dev = args.n_devices or len(jax.devices())
+    if n_dev > 1:
+        from crnn_ocr_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_dev)
+        print(f"data-parallel mesh: {mesh}", file=sys.stderr)
+
+    fitcfg = FitConfig(
+        steps=args.steps,
+        eval_every=args.eval_every,
+        checkpoint_dir=args.save_path,
+        early_stop_patience=args.early_stop_patience,
+        metrics_path=f"{args.save_path}/metrics.jsonl",
+        seed=args.seed,
+        exact_keras_loss=args.exact_keras_loss,
+        mesh=mesh,
+    )
+    fit(
+        state,
+        cfg,
+        train_iter(),
+        eval_iter_fn=eval_iter,
+        codec=codec,
+        cfg=fitcfg,
+    )
+    print(f"saved to {args.save_path}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

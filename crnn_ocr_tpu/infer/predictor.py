@@ -1,0 +1,211 @@
+"""Inference API mirroring the reference's predict path (SURVEY.md C8/C11).
+
+Reference shape: ``init_predictor(path) -> model`` then per image
+preprocess -> ``model.predict`` -> ``decode_predict_ctc(out, top_paths,
+beam_width)`` -> text. Here the same names exist with the same roles, but
+the whole batch path (preprocess -> forward -> softmax -> decode) is one
+jitted on-device program per bucket width; the host only decodes image
+bytes and maps label ids back to text.
+
+``decode`` modes:
+  * greedy (default): on-device argmax decode, confidence =
+    exp(-neg_sum_logits) analog kept as raw score (reference prints scores).
+  * beam: on-device vectorized beam search (fast path), or
+    ``exact_tf=True`` for the host-side bit-exact TF-semantics decoder.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crnn_ocr_tpu.data.codec import LabelCodec
+from crnn_ocr_tpu.models import CRNN, ModelConfig
+from crnn_ocr_tpu.ops import ctc
+from crnn_ocr_tpu.ops.preprocess import pack_canvas, preprocess_batch
+
+
+@dataclasses.dataclass
+class Prediction:
+    text: str
+    score: float
+    candidates: Optional[List[Tuple[str, float]]] = None
+    latency_ms: Optional[float] = None
+
+
+class Predictor:
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        params,
+        batch_stats,
+        codec: LabelCodec,
+        normalize: bool = True,
+        buckets: Sequence[int] = (64, 128, 192, 256),
+    ):
+        self.cfg = model_cfg
+        self.codec = codec
+        self.normalize = normalize
+        self.buckets = tuple(buckets)
+        self._model = CRNN(cfg=model_cfg)
+        self._vars = {"params": params, "batch_stats": batch_stats}
+        self._fwd = jax.jit(
+            lambda v, x: jax.nn.softmax(
+                self._model.apply(v, x[..., None], train=False)[
+                    :, model_cfg.ctc_time_slice :, :
+                ],
+                axis=-1,
+            )
+        )
+
+    # ---- core batched path ----
+
+    def predict_probs(
+        self, images: Sequence[np.ndarray], bucket: Optional[int] = None
+    ):
+        """images: list of grayscale uint8 arrays -> (probs, input_length)."""
+        canvas, hs, ws = pack_canvas(list(images))
+        if bucket is None:
+            w_need = max(
+                int(round(w * self.cfg.height / h)) for h, w in zip(hs, ws)
+            )
+            bucket = next(
+                (b for b in self.buckets if w_need <= b), self.buckets[-1]
+            )
+        x, w_new = preprocess_batch(
+            canvas,
+            hs,
+            ws,
+            out_h=self.cfg.height,
+            out_w=bucket,
+            normalize=self.normalize,
+        )
+        probs = self._fwd(self._vars, x)
+        T = probs.shape[1]
+        input_len = jnp.clip(
+            w_new // self.cfg.width_downsample - self.cfg.ctc_time_slice,
+            1,
+            T,
+        )
+        return probs, input_len
+
+    def predict(
+        self,
+        images: Sequence[np.ndarray],
+        greedy: bool = True,
+        beam_width: int = 10,
+        top_paths: int = 1,
+        exact_tf: bool = False,
+        timing: bool = False,
+    ) -> List[Prediction]:
+        t0 = time.perf_counter()
+        probs, input_len = self.predict_probs(images)
+        if greedy:
+            decoded, score = ctc.ctc_greedy_decode(probs, input_len)
+            decoded_list, scores = [decoded], np.asarray(score)
+        elif exact_tf:
+            from crnn_ocr_tpu.ops.ctc_beam_exact import (
+                ctc_beam_search_decode_exact,
+            )
+
+            decoded_list, scores = ctc_beam_search_decode_exact(
+                np.asarray(probs),
+                np.asarray(input_len),
+                beam_width=beam_width,
+                top_paths=top_paths,
+            )
+            scores = np.asarray(scores)
+        else:
+            decoded_list, scores = ctc.ctc_decode(
+                probs,
+                input_len,
+                greedy=False,
+                beam_width=beam_width,
+                top_paths=top_paths,
+            )
+            scores = np.asarray(scores)
+        dt = (time.perf_counter() - t0) * 1e3
+
+        out = []
+        rows_per_path = [ctc.trim_dense(d) for d in decoded_list]
+        B = len(images)
+        for b in range(B):
+            cands = []
+            for p in range(len(rows_per_path)):
+                text = self.codec.labels_to_text(rows_per_path[p][b])
+                s = float(scores[b, min(p, scores.shape[1] - 1)])
+                cands.append((text, s))
+            out.append(
+                Prediction(
+                    text=cands[0][0],
+                    score=cands[0][1],
+                    candidates=cands if len(cands) > 1 else None,
+                    latency_ms=dt / B if timing else None,
+                )
+            )
+        return out
+
+    def predict_text(self, images: Sequence[np.ndarray], **kw) -> List[str]:
+        return [p.text for p in self.predict(images, **kw)]
+
+
+def init_predictor(model_dir: str, **kw) -> Predictor:
+    """Reference-parity loader: rebuilds the inference model from saved
+    artifacts (orbax checkpoint + model_config.json + classes.json), the
+    TPU-native analog of model_from_json + load_weights + pickle (C8)."""
+    import jax
+
+    from crnn_ocr_tpu.train.checkpoint import (
+        CheckpointManager,
+        load_codec,
+        load_model_config,
+    )
+    from crnn_ocr_tpu.train.state import create_train_state
+
+    cfg = load_model_config(model_dir)
+    codec = load_codec(model_dir)
+    template = create_train_state(cfg, jax.random.key(0))
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape")
+        else x,
+        template,
+    )
+    mgr = CheckpointManager(model_dir)
+    state = mgr.restore(abstract)
+    return Predictor(cfg, state.params, state.batch_stats, codec, **kw)
+
+
+def decode_predict_ctc(
+    out,
+    input_length=None,
+    top_paths: int = 1,
+    beam_width: int = 10,
+    codec: Optional[LabelCodec] = None,
+):
+    """Reference-parity free function: decode softmax outputs to label
+    sequences (and text when a codec is given). ``out``: (B, T, C) probs."""
+    out = jnp.asarray(out)
+    B, T, _ = out.shape
+    if input_length is None:
+        input_length = jnp.full((B,), T, jnp.int32)
+    decoded_list, scores = ctc.ctc_decode(
+        out,
+        input_length,
+        greedy=False,
+        beam_width=beam_width,
+        top_paths=top_paths,
+    )
+    paths = [ctc.trim_dense(d) for d in decoded_list]
+    if codec is None:
+        return paths, np.asarray(scores)
+    texts = [
+        [codec.labels_to_text(paths[p][b]) for p in range(top_paths)]
+        for b in range(B)
+    ]
+    return texts, np.asarray(scores)

@@ -102,7 +102,8 @@ class DepthwiseSeparableBlock(nn.Module):
             name="pointwise",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, dtype=self.dtype, axis_name=None
+            use_running_average=not train, dtype=self.dtype,
+            epsilon=1e-3, momentum=0.99,  # Keras BN defaults (parity)
         )(x)
         x = nn.relu(x)
         if self.pool != (1, 1):
@@ -134,7 +135,8 @@ class CRNN(nn.Module):
             dtype=dtype, name="stem_conv",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, dtype=dtype, name="stem_bn"
+            use_running_average=not train, dtype=dtype, name="stem_bn",
+            epsilon=1e-3, momentum=0.99,
         )(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -165,7 +167,8 @@ class CRNN(nn.Module):
                 name=f"birnn{i}",
             )(x)
             x = nn.BatchNorm(
-                use_running_average=not train, dtype=dtype, name=f"rnn_bn{i}"
+                use_running_average=not train, dtype=dtype, name=f"rnn_bn{i}",
+                epsilon=1e-3, momentum=0.99,
             )(x)
 
         logits = nn.Dense(

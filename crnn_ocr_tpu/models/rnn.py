@@ -107,7 +107,8 @@ class BiRNN(nn.Module):
                 z = jax.nn.sigmoid(xz + rz)
                 r = jax.nn.sigmoid(xr + rr)
                 hh = jnp.tanh(xh + r * rh)
-                h_new = z * h + (1.0 - z) * hh
+                # gate math accumulates f32; carried state in module dtype
+                h_new = (z * h + (1.0 - z) * hh).astype(self.dtype)
                 return h_new, h_new
 
             _, hs = jax.lax.scan(step, h0, jnp.transpose(xw, (1, 0, 2, 3)))
@@ -126,8 +127,10 @@ class BiRNN(nn.Module):
                 f = jax.nn.sigmoid(f)
                 g = jnp.tanh(g)
                 o = jax.nn.sigmoid(o)
-                c_new = f * c + i * g
-                h_new = o * jnp.tanh(c_new)
+                c_new = (f * c + i * g).astype(self.dtype)
+                h_new = (o * jnp.tanh(c_new.astype(jnp.float32))).astype(
+                    self.dtype
+                )
                 return (h_new, c_new), h_new
 
             _, hs = jax.lax.scan(

@@ -38,7 +38,7 @@ class FitConfig:
     metrics_path: Optional[str] = None  # JSONL stream
     seed: int = 0
     exact_keras_loss: bool = False
-    mesh=None  # optional jax.sharding.Mesh for DP
+    mesh: object = None  # optional jax.sharding.Mesh for DP
 
 
 def fit(

@@ -1,0 +1,82 @@
+"""Equal-weights forward parity: Keras .h5 -> flax import -> same outputs.
+
+The driver's north star requires matching the reference model's outputs
+"bit-for-bit at equal weights". Goldens come from tools/gen_keras_parity.py
+(reference-equivalent tf_keras models with randomized weights incl. BN
+moving stats). The flax CRNN with imported weights must reproduce the Keras
+softmax outputs to fp32 tolerance, and the whole decode pipeline must then
+agree exactly.
+"""
+
+import pathlib
+
+import jax
+import numpy as np
+import pytest
+
+from crnn_ocr_tpu.infer.h5_import import import_keras_h5
+from crnn_ocr_tpu.models import CRNN, ModelConfig
+from crnn_ocr_tpu.ops import ctc
+
+GOLDENS = pathlib.Path(__file__).parent / "goldens"
+
+CASES = {
+    "small_gru": ModelConfig(
+        num_classes=12, width=64, stem_filters=8,
+        block_filters=(16, 16, 24, 24), time_dense_size=16,
+        n_units=12, rnn_layers=1, rnn_cell="gru", dropout_rate=0.0,
+    ),
+    "small_lstm": ModelConfig(
+        num_classes=9, width=64, stem_filters=8,
+        block_filters=(12, 16, 16, 24), time_dense_size=12,
+        n_units=8, rnn_layers=2, rnn_cell="lstm", dropout_rate=0.0,
+    ),
+    "mid_gru": ModelConfig(
+        num_classes=40, width=128, stem_filters=16,
+        block_filters=(32, 48, 48, 64), time_dense_size=32,
+        n_units=48, rnn_layers=2, rnn_cell="gru", dropout_rate=0.0,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_equal_weights_forward_parity(name):
+    h5 = GOLDENS / f"keras_{name}_weights.h5"
+    io = GOLDENS / f"keras_{name}_io.npz"
+    if not h5.exists():
+        pytest.skip("run tools/gen_keras_parity.py")
+    cfg = CASES[name]
+    params, batch_stats = import_keras_h5(str(h5), cfg)
+    data = np.load(io)
+    x, y_keras = data["x"], data["y"]
+
+    model = CRNN(cfg=cfg)
+    logits = model.apply(
+        {"params": params, "batch_stats": batch_stats}, x, train=False
+    )
+    y = np.asarray(jax.nn.softmax(logits, axis=-1))
+    assert y.shape == y_keras.shape
+    np.testing.assert_allclose(y, y_keras, rtol=1e-4, atol=2e-5)
+
+
+def test_equal_weights_decode_parity():
+    """Through the decode pipeline: same weights -> same transcriptions."""
+    name = "mid_gru"
+    h5 = GOLDENS / f"keras_{name}_weights.h5"
+    if not h5.exists():
+        pytest.skip("run tools/gen_keras_parity.py")
+    cfg = CASES[name]
+    params, batch_stats = import_keras_h5(str(h5), cfg)
+    data = np.load(GOLDENS / f"keras_{name}_io.npz")
+    x, y_keras = data["x"], data["y"]
+
+    model = CRNN(cfg=cfg)
+    logits = model.apply(
+        {"params": params, "batch_stats": batch_stats}, x, train=False
+    )
+    probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+    B, T, _ = probs.shape
+    in_len = np.full((B,), T, np.int32)
+    ours, _ = ctc.ctc_greedy_decode(probs[:, 2:, :], in_len - 2)
+    theirs, _ = ctc.ctc_greedy_decode(y_keras[:, 2:, :], in_len - 2)
+    assert ctc.trim_dense(ours) == ctc.trim_dense(theirs)

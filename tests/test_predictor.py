@@ -1,0 +1,81 @@
+"""Predictor API tests: artifact save -> init_predictor -> predict, the
+reference's C8/C11 surface (library-level)."""
+
+import jax
+import numpy as np
+import pytest
+
+from crnn_ocr_tpu.data import SyntheticConfig, SyntheticTextlines
+from crnn_ocr_tpu.infer import Predictor, decode_predict_ctc, init_predictor
+from crnn_ocr_tpu.models import ModelConfig
+from crnn_ocr_tpu.train import CheckpointManager, create_train_state
+
+
+@pytest.fixture(scope="module")
+def saved_model(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("model"))
+    synth = SyntheticTextlines(
+        SyntheticConfig(alphabet="0123456789", min_len=2, max_len=5)
+    )
+    cfg = ModelConfig(
+        num_classes=synth.codec.num_classes,
+        width=128,
+        stem_filters=8,
+        block_filters=(16, 16, 24, 24),
+        time_dense_size=16,
+        n_units=16,
+        rnn_layers=1,
+    )
+    state = create_train_state(cfg, jax.random.key(0))
+    mgr = CheckpointManager(d)
+    mgr.save(0, state, cfg, synth.codec)
+    mgr.wait()
+    return d, synth
+
+
+def test_init_predictor_roundtrip(saved_model):
+    d, synth = saved_model
+    pred = init_predictor(d)
+    rng = np.random.default_rng(0)
+    images, texts = synth.sample_batch(3, rng)
+    out = pred.predict(images, greedy=True, timing=True)
+    assert len(out) == 3
+    for p in out:
+        assert isinstance(p.text, str)
+        assert np.isfinite(p.score)
+        assert p.latency_ms is not None
+    # beam path with candidates
+    out_b = pred.predict(images, greedy=False, beam_width=4, top_paths=2)
+    assert out_b[0].candidates is not None
+    assert len(out_b[0].candidates) == 2
+    # exact-TF beam path
+    out_e = pred.predict(
+        images, greedy=False, beam_width=4, top_paths=1, exact_tf=True
+    )
+    assert isinstance(out_e[0].text, str)
+
+
+def test_predictor_bucket_selection(saved_model):
+    d, synth = saved_model
+    pred = init_predictor(d)
+    wide = [np.full((32, 400), 255, np.uint8)]
+    probs, in_len = pred.predict_probs(wide)
+    # 400px at h32 needs bucket 256 -> T = 256/4 - 2
+    assert probs.shape[1] == 256 // 4 - 2
+    narrow = [np.full((32, 40), 255, np.uint8)]
+    probs2, _ = pred.predict_probs(narrow)
+    assert probs2.shape[1] == 64 // 4 - 2
+
+
+def test_decode_predict_ctc_free_function(saved_model):
+    _, synth = saved_model
+    rng = np.random.default_rng(1)
+    B, T, C = 2, 12, synth.codec.num_classes + 1
+    probs = rng.random((B, T, C)).astype(np.float32)
+    probs = np.exp(5 * probs)
+    probs /= probs.sum(-1, keepdims=True)
+    texts, scores = decode_predict_ctc(
+        probs, top_paths=2, beam_width=5, codec=synth.codec
+    )
+    assert len(texts) == B and len(texts[0]) == 2
+    assert scores.shape == (B, 2)

@@ -1,0 +1,92 @@
+"""Generate equal-weights parity goldens: Keras CRNN -> .h5 + input/output.
+
+Builds a (small) reference-equivalent Keras CRNN with random-but-trained-like
+weights, saves its weights as .h5 plus input batches and the Keras model's
+softmax outputs. tests/test_keras_parity.py imports the .h5 through
+crnn_ocr_tpu.infer.h5_import and asserts the flax model reproduces the
+outputs — the "bit-for-bit at equal weights" forward contract.
+
+Run: python tools/gen_keras_parity.py
+"""
+
+import os
+import sys
+
+os.environ["CUDA_VISIBLE_DEVICES"] = "-1"
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
+
+
+def main():
+    from keras_oracle import build_keras_crnn
+
+    rng = np.random.default_rng(20260816)
+
+    cases = [
+        dict(  # small GRU model
+            name="small_gru",
+            kwargs=dict(
+                num_classes=12, width=64, stem_filters=8,
+                block_filters=(16, 16, 24, 24), time_dense_size=16,
+                n_units=12, rnn_layers=1, rnn_cell="gru",
+            ),
+        ),
+        dict(  # small LSTM model, 2 layers
+            name="small_lstm",
+            kwargs=dict(
+                num_classes=9, width=64, stem_filters=8,
+                block_filters=(12, 16, 16, 24), time_dense_size=12,
+                n_units=8, rnn_layers=2, rnn_cell="lstm",
+            ),
+        ),
+        dict(  # flagship-shaped GRU (smaller units to keep files modest)
+            name="mid_gru",
+            kwargs=dict(
+                num_classes=40, width=128, stem_filters=16,
+                block_filters=(32, 48, 48, 64), time_dense_size=32,
+                n_units=48, rnn_layers=2, rnn_cell="gru",
+            ),
+        ),
+    ]
+
+    for case in cases:
+        model = build_keras_crnn(**case["kwargs"])
+        # randomize ALL weights incl. BN moving stats (fresh init leaves
+        # mean=0/var=1, too easy); keep magnitudes sane
+        new_w = []
+        for w in model.get_weights():
+            if w.ndim == 1 and np.allclose(w, 1.0):  # gamma / var
+                new_w.append((1.0 + 0.3 * rng.standard_normal(w.shape)).astype(np.float32) ** 2 + 0.1)
+            elif w.ndim == 1:
+                new_w.append((0.2 * rng.standard_normal(w.shape)).astype(np.float32))
+            else:
+                new_w.append(
+                    (rng.standard_normal(w.shape) * 0.15).astype(np.float32)
+                )
+        model.set_weights(new_w)
+
+        h, wd = 32, case["kwargs"]["width"]
+        x = rng.standard_normal((3, h, wd, 1)).astype(np.float32)
+        y = model.predict(x, verbose=0)
+
+        # NB: a ``.weights.h5`` suffix triggers tf_keras's Keras-3-style
+        # format; a plain ``.h5`` name yields the legacy layer_names format
+        # the reference era used (and h5_import.py parses).
+        h5_path = os.path.join(OUT, f"keras_{case['name']}_weights.h5")
+        model.save_weights(h5_path)
+        np.savez(
+            os.path.join(OUT, f"keras_{case['name']}_io.npz"),
+            x=x,
+            y=y,
+            **{f"cfg_{k}": np.asarray(v) for k, v in case["kwargs"].items()
+               if not isinstance(v, (tuple, str))},
+        )
+        print(case["name"], "y", y.shape, "->", h5_path)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
