@@ -200,8 +200,35 @@ def ctc_beam_search_decode_exact(
     """
     y_pred = np.asarray(y_pred, dtype=np.float32)
     B, T, C = y_pred.shape
-    logits = np.log(y_pred + KERAS_EPSILON)
     input_length = np.asarray(input_length, dtype=np.int64).reshape(B)
+
+    # Fast path: the C++ kernel (crnn_ocr_tpu/native/src/ctc_beam_tf.cc)
+    # implements identical semantics; fall back to this pure-python tree
+    # when no toolchain built it.
+    try:
+        from crnn_ocr_tpu import native
+
+        if native.available():
+            paths, lens, scores = native.ctc_beam_decode_tf(
+                y_pred,
+                input_length,
+                beam_width=beam_width,
+                top_paths=top_paths,
+                merge_repeated=merge_repeated,
+            )
+            decoded = []
+            for p in range(top_paths):
+                width = max(1, int(lens[:, p].max(initial=0)))
+                dense = np.full((B, width), -1, np.int32)
+                for b in range(B):
+                    n = int(lens[b, p])
+                    dense[b, :n] = paths[b, p, :n]
+                decoded.append(dense)
+            return decoded, scores
+    except Exception:
+        pass
+
+    logits = np.log(y_pred + KERAS_EPSILON)
 
     all_paths: List[List[List[int]]] = []
     all_scores = np.zeros((B, top_paths), np.float32)
