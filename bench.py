@@ -34,7 +34,12 @@ def main() -> int:
     WIDTH = int(os.environ.get("BENCH_WIDTH", "128"))
     REPS = int(os.environ.get("BENCH_REPS", "20"))
 
-    cfg = ModelConfig(num_classes=80, width=WIDTH, dtype="bfloat16")
+    cfg = ModelConfig(
+        num_classes=80,
+        width=WIDTH,
+        dtype="bfloat16",
+        use_pallas_rnn=os.environ.get("BENCH_PALLAS", "0") == "1",
+    )
     model = CRNN(cfg=cfg)
 
     rng = np.random.default_rng(0)

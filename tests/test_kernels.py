@@ -1,0 +1,71 @@
+"""Pallas kernel tests (interpret mode on the CPU mesh; real-TPU runs are
+exercised by bench.py / tools drives)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crnn_ocr_tpu.kernels.bigru import (
+    _bigru_scan_ref,
+    bigru_fused,
+    bigru_supported,
+)
+
+
+def _rand_inputs(rng, T=6, D=2, B=8, H=128, dtype=jnp.float32):
+    xw = jnp.asarray(rng.normal(size=(T, D, B, 3 * H)).astype(np.float32), dtype)
+    u = jnp.asarray(rng.normal(size=(D, H, 3 * H)).astype(np.float32) * 0.1, dtype)
+    b = jnp.asarray(rng.normal(size=(D, 3 * H)).astype(np.float32) * 0.1, dtype)
+    return xw, u, b
+
+
+def test_bigru_pallas_matches_scan_forward():
+    rng = np.random.default_rng(0)
+    xw, u, b = _rand_inputs(rng)
+    got = bigru_fused(xw, u, b, True)  # interpret mode
+    want = _bigru_scan_ref(xw, u, b)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_bigru_pallas_gradients_match_scan():
+    rng = np.random.default_rng(1)
+    xw, u, b = _rand_inputs(rng, T=4, B=8, H=128)
+
+    def loss_pallas(xw, u, b):
+        return jnp.sum(jnp.tanh(bigru_fused(xw, u, b, True)))
+
+    def loss_scan(xw, u, b):
+        return jnp.sum(jnp.tanh(_bigru_scan_ref(xw, u, b)))
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(xw, u, b)
+    g2 = jax.grad(loss_scan, argnums=(0, 1, 2))(xw, u, b)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_birnn_pallas_path_matches_scan_path():
+    """BiRNN(use_pallas=True) == BiRNN(use_pallas=False) at equal params."""
+    from crnn_ocr_tpu.models.rnn import BiRNN
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(8, 5, 32)).astype(np.float32))
+    ref = BiRNN(units=128, use_pallas=False)
+    variables = ref.init(jax.random.key(0), x)
+    want = ref.apply(variables, x)
+    fused = BiRNN(units=128, use_pallas=True, pallas_interpret=True)
+    got = fused.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_bigru_supported_gate():
+    assert bigru_supported(8, 128)
+    assert bigru_supported(256, 256)
+    assert not bigru_supported(8, 100)
+    assert not bigru_supported(3, 128)
