@@ -22,21 +22,51 @@ import time
 import numpy as np
 
 
-def _sync(tree):
+_RTT = None
+
+
+def _tunnel_rtt():
+    """Per-call tunnel round-trip (subtracted from device timings)."""
+    global _RTT
+    if _RTT is None:
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: x + 1)
+        np.asarray(f(jnp.ones(8)))
+        t0 = time.perf_counter()
+        np.asarray(f(jnp.ones(8)))
+        _RTT = time.perf_counter() - t0
+    return _RTT
+
+
+def _device_time(step_fn, args, K=8, trials=3):
+    """True device time per step: K steps inside one jit (lax.scan),
+    scalar-checksum output, single host sync, tunnel RTT subtracted.
+    ``step_fn(*args)`` must return a pytree of arrays."""
     import jax
+    import jax.numpy as jnp
 
-    return jax.tree_util.tree_map(
-        lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree
-    )
+    @jax.jit
+    def run(*args):
+        def body(c, _):
+            out = step_fn(*args)
+            s = sum(
+                jnp.sum(x).astype(jnp.float32)
+                for x in jax.tree_util.tree_leaves(out)
+            )
+            return c + s, None
 
+        tot, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
+        return tot
 
-def _amortized(f, reps=15):
-    outs = [f() for _ in range(3)]
-    _sync(outs[-1])
-    t0 = time.perf_counter()
-    outs = [f() for _ in range(reps)]
-    _sync(outs[-1])
-    return (time.perf_counter() - t0) / reps
+    np.asarray(run(*args))  # compile
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(run(*args))
+        times.append(time.perf_counter() - t0)
+    return (float(np.median(times)) - _tunnel_rtt()) / K
 
 
 def main() -> int:
@@ -68,7 +98,6 @@ def main() -> int:
             x0, train=False,
         )
 
-        @jax.jit
         def serve(variables, raw, heights, widths):
             x, w_new = preprocess_batch(
                 raw, heights, widths, out_h=cfg.height, out_w=width
@@ -88,7 +117,7 @@ def main() -> int:
             return ctc.ctc_greedy_decode(probs, il)
 
         args = tuple(map(jax.device_put, (raw, heights, widths)))
-        step = _amortized(lambda: serve(variables, *args))
+        step = _device_time(serve, (variables,) + args)
         rec = {
             "batch": B,
             "width": width,
@@ -125,11 +154,11 @@ def main() -> int:
     }
     key = jax.random.key(1)
 
-    def train_once():
-        _, m = step_fn(state, batch, key)
+    def train_once(state_, batch_):
+        _, m = step_fn(state_, batch_, key)
         return m
 
-    step = _amortized(train_once, reps=10)
+    step = _device_time(train_once, (state, batch), K=4)
     results["configs"]["train_step_b128"] = {
         "batch": B,
         "lines_per_sec": round(B / step, 1),

@@ -51,6 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--steps", type=int, default=5000)
     p.add_argument("--eval_every", type=int, default=500)
+    p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--early_stop_patience", type=int, default=0)
     p.add_argument("--exact_keras_loss", action="store_true")
     # infra
@@ -58,12 +59,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel mesh size (0 = all devices)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax nan-checking (SURVEY.md §5.2)")
+    p.add_argument("--profile_dir",
+                   help="capture an xplane trace of the first eval interval")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import jax
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from crnn_ocr_tpu.data import (
         Reader,
@@ -86,6 +94,8 @@ def main(argv=None) -> int:
                     batch_size=args.batch_size, synth=synth, seed=args.seed
                 ),
                 normalize=args.norm,
+                augment=args.augment,
+                augment_seed=args.seed,
             )
 
         def eval_iter():
@@ -116,7 +126,10 @@ def main(argv=None) -> int:
 
         def train_iter():
             return device_batches(
-                reader.run_generator(train=True), normalize=args.norm
+                reader.run_generator(train=True),
+                normalize=args.norm,
+                augment=args.augment,
+                augment_seed=args.seed,
             )
 
         def eval_iter():
@@ -154,6 +167,7 @@ def main(argv=None) -> int:
     fitcfg = FitConfig(
         steps=args.steps,
         eval_every=args.eval_every,
+        log_every=args.log_every,
         checkpoint_dir=args.save_path,
         early_stop_patience=args.early_stop_patience,
         metrics_path=f"{args.save_path}/metrics.jsonl",

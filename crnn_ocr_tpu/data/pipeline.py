@@ -32,10 +32,21 @@ def device_batches(
     out_h: int = 32,
     normalize: bool = True,
     prefetch: int = 2,
+    augment: bool = False,
+    augment_seed: int = 0,
 ) -> Iterator[Dict[str, jnp.ndarray]]:
-    """Map raw host batches through the fused device preprocess graph."""
+    """Map raw host batches through the fused device preprocess graph
+    (+ optional on-device augmentation, ops/augment.py)."""
+    if augment:
+        import jax
+
+        from crnn_ocr_tpu.ops.augment import augment_batch
+
+        aug_key = jax.random.key(augment_seed)
+    n_produced = 0
 
     def produce(b):
+        nonlocal n_produced
         bucket = int(b["bucket"])
         x, w_new = preprocess_batch(
             b["the_input"],
@@ -45,6 +56,11 @@ def device_batches(
             out_w=bucket,
             normalize=normalize,
         )
+        if augment:
+            import jax
+
+            x = augment_batch(x, jax.random.fold_in(aug_key, n_produced))
+            n_produced += 1
         T = bucket // width_downsample
         input_len = jnp.minimum(w_new // width_downsample, T) - ctc_time_slice
         input_len = jnp.maximum(input_len, 1)

@@ -80,3 +80,22 @@ def test_no_normalize_range():
     )
     x = np.asarray(x)
     assert x.min() >= -1e-6 and x.max() <= 1.0 + 1e-6
+
+
+def test_augment_batch_shapes_and_determinism():
+    import jax
+    import jax.numpy as jnp
+
+    from crnn_ocr_tpu.ops.augment import augment_batch
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(3, 32, 64)).astype(np.float32))
+    key = jax.random.key(0)
+    a1 = augment_batch(x, key)
+    a2 = augment_batch(x, key)
+    assert a1.shape == x.shape
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    a3 = augment_batch(x, jax.random.key(1))
+    assert float(np.abs(np.asarray(a3) - np.asarray(a1)).max()) > 1e-4
+    # augmented stays finite, roughly same scale
+    assert np.isfinite(np.asarray(a1)).all()
