@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--opt", default="adam",
                    choices=["adam", "sgd", "rmsprop", "adadelta", "adamw"])
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr_schedule", default="constant",
+                   choices=["constant", "cosine", "cyclic"])
+    p.add_argument("--warmup_steps", type=int, default=0)
     p.add_argument("--steps", type=int, default=5000)
     p.add_argument("--eval_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=50)
@@ -151,6 +154,8 @@ def main(argv=None) -> int:
     state = create_train_state(
         cfg, jax.random.key(args.seed), optimizer=args.opt,
         learning_rate=args.lr, batch_size=args.batch_size,
+        schedule=args.lr_schedule, total_steps=args.steps,
+        warmup_steps=args.warmup_steps,
     )
     print(
         f"devices: {jax.devices()}  params: {param_count(state)/1e6:.2f}M",

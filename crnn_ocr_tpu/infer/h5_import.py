@@ -133,3 +133,77 @@ def _tree_map_arrays(tree, fn):
     if isinstance(tree, dict):
         return {k: _tree_map_arrays(v, fn) for k, v in tree.items()}
     return fn(tree)
+
+
+def export_keras_h5(params, batch_stats, model_cfg, path: str) -> None:
+    """Inverse of :func:`import_keras_h5`: write the flax CRNN weights as a
+    legacy-format Keras .h5 that tf_keras ``load_weights`` (and this module)
+    can read — lets reference users migrate in BOTH directions."""
+    import h5py
+
+    params = _tree_map_arrays(params, np.asarray)
+    batch_stats = _tree_map_arrays(batch_stats, np.asarray)
+
+    layers: "dict[str, list[tuple[str, np.ndarray]]]" = {}
+
+    def bn(layer: str, p: dict, s: dict):
+        layers[layer] = [
+            (f"{layer}/gamma:0", p["scale"]),
+            (f"{layer}/beta:0", p["bias"]),
+            (f"{layer}/moving_mean:0", s["mean"]),
+            (f"{layer}/moving_variance:0", s["var"]),
+        ]
+
+    layers["stem_conv"] = [
+        ("stem_conv/kernel:0", params["stem_conv"]["kernel"])
+    ]
+    bn("stem_bn", params["stem_bn"], batch_stats["stem_bn"])
+    for i in range(len(model_cfg.block_filters)):
+        blk_p = params[f"block{i}"]
+        blk_s = batch_stats[f"block{i}"]
+        layers[f"block{i}_depthwise"] = [
+            (
+                f"block{i}_depthwise/depthwise_kernel:0",
+                np.transpose(blk_p["depthwise"]["kernel"], (0, 1, 3, 2)),
+            )
+        ]
+        layers[f"block{i}_pointwise"] = [
+            (f"block{i}_pointwise/kernel:0", blk_p["pointwise"]["kernel"])
+        ]
+        bn(f"block{i}_bn", blk_p["BatchNorm_0"], blk_s["BatchNorm_0"])
+    layers["time_dense"] = [
+        ("time_dense/kernel:0", params["time_dense"]["kernel"]),
+        ("time_dense/bias:0", params["time_dense"]["bias"]),
+    ]
+    cell = model_cfg.rnn_cell
+    for i in range(model_cfg.rnn_layers):
+        p = params[f"birnn{i}"]
+        layers[f"birnn{i}"] = [
+            (f"birnn{i}/forward_{cell}/{cell}_cell/kernel:0", p["kernel"][0]),
+            (
+                f"birnn{i}/forward_{cell}/{cell}_cell/recurrent_kernel:0",
+                p["recurrent_kernel"][0],
+            ),
+            (f"birnn{i}/forward_{cell}/{cell}_cell/bias:0", p["bias"][0]),
+            (f"birnn{i}/backward_{cell}/{cell}_cell/kernel:0", p["kernel"][1]),
+            (
+                f"birnn{i}/backward_{cell}/{cell}_cell/recurrent_kernel:0",
+                p["recurrent_kernel"][1],
+            ),
+            (f"birnn{i}/backward_{cell}/{cell}_cell/bias:0", p["bias"][1]),
+        ]
+        bn(f"rnn_bn{i}", params[f"rnn_bn{i}"], batch_stats[f"rnn_bn{i}"])
+    layers["logits"] = [
+        ("logits/kernel:0", params["logits"]["kernel"]),
+        ("logits/bias:0", params["logits"]["bias"]),
+    ]
+
+    with h5py.File(path, "w") as f:
+        f.attrs["layer_names"] = [n.encode() for n in layers]
+        f.attrs["backend"] = b"tensorflow"
+        f.attrs["keras_version"] = b"2.21.0"
+        for lname, weights in layers.items():
+            g = f.create_group(lname)
+            g.attrs["weight_names"] = [wn.encode() for wn, _ in weights]
+            for wn, arr in weights:
+                g.create_dataset(wn, data=np.asarray(arr, np.float32))

@@ -23,23 +23,72 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = struct.field(default=None)
 
 
+def make_schedule(
+    name: str,
+    learning_rate: float,
+    total_steps: int = 10_000,
+    warmup_steps: int = 0,
+):
+    """LR schedules (the reference era used a cyclic-LR Keras callback)."""
+    name = (name or "constant").lower()
+    if name == "constant":
+        sched = learning_rate
+    elif name == "cosine":
+        sched = optax.cosine_decay_schedule(
+            learning_rate, decay_steps=max(total_steps, 1)
+        )
+    elif name == "cyclic":
+        # triangular cyclic LR between lr/10 and lr
+        period = max(total_steps // 8, 100)
+        sched = optax.join_schedules(
+            [
+                optax.linear_schedule(
+                    learning_rate / 10, learning_rate, period // 2
+                ),
+                optax.linear_schedule(
+                    learning_rate, learning_rate / 10, period - period // 2
+                ),
+            ]
+            * 8,
+            boundaries=list(
+                jnp.cumsum(
+                    jnp.array(
+                        [period // 2, period - period // 2] * 8
+                    )
+                )[:-1]
+            ),
+        )
+    else:
+        raise ValueError(f"unknown schedule {name!r}")
+    if warmup_steps:
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, learning_rate, warmup_steps), sched],
+            boundaries=[warmup_steps],
+        )
+    return sched
+
+
 def make_optimizer(
     name: str = "adam",
     learning_rate: float = 1e-3,
     clipnorm: float = 5.0,
+    schedule: str = "constant",
+    total_steps: int = 10_000,
+    warmup_steps: int = 0,
 ) -> optax.GradientTransformation:
     """The reference exposes an optimizer-choice flag (C10); same menu."""
+    lr = make_schedule(schedule, learning_rate, total_steps, warmup_steps)
     name = name.lower()
     if name == "adam":
-        tx = optax.adam(learning_rate)
+        tx = optax.adam(lr)
     elif name == "sgd":
-        tx = optax.sgd(learning_rate, momentum=0.9)
+        tx = optax.sgd(lr, momentum=0.9)
     elif name == "rmsprop":
-        tx = optax.rmsprop(learning_rate)
+        tx = optax.rmsprop(lr)
     elif name == "adadelta":
-        tx = optax.adadelta(learning_rate)
+        tx = optax.adadelta(lr)
     elif name == "adamw":
-        tx = optax.adamw(learning_rate)
+        tx = optax.adamw(lr)
     else:
         raise ValueError(f"unknown optimizer {name!r}")
     if clipnorm:
@@ -53,6 +102,9 @@ def create_train_state(
     optimizer: str = "adam",
     learning_rate: float = 1e-3,
     batch_size: int = 2,
+    schedule: str = "constant",
+    total_steps: int = 10_000,
+    warmup_steps: int = 0,
 ) -> TrainState:
     model = CRNN(cfg=cfg)
     x = jnp.zeros((batch_size, cfg.height, cfg.width, 1), jnp.float32)
@@ -63,7 +115,13 @@ def create_train_state(
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
-        tx=make_optimizer(optimizer, learning_rate),
+        tx=make_optimizer(
+            optimizer,
+            learning_rate,
+            schedule=schedule,
+            total_steps=total_steps,
+            warmup_steps=warmup_steps,
+        ),
         batch_stats=variables["batch_stats"],
     )
 

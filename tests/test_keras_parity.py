@@ -80,3 +80,29 @@ def test_equal_weights_decode_parity():
     ours, _ = ctc.ctc_greedy_decode(probs[:, 2:, :], in_len - 2)
     theirs, _ = ctc.ctc_greedy_decode(y_keras[:, 2:, :], in_len - 2)
     assert ctc.trim_dense(ours) == ctc.trim_dense(theirs)
+
+
+def test_h5_export_import_roundtrip(tmp_path):
+    """flax -> export_keras_h5 -> import_keras_h5 -> identical trees."""
+    from crnn_ocr_tpu.infer.h5_import import export_keras_h5
+    from crnn_ocr_tpu.train import create_train_state
+
+    cfg = CASES["small_gru"]
+    state = create_train_state(cfg, jax.random.key(3))
+    path = str(tmp_path / "export.h5")
+    export_keras_h5(state.params, state.batch_stats, cfg, path)
+    params, stats = import_keras_h5(path, cfg)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(state.params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(params))
+    for k, v in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_b[k]), rtol=0, atol=0,
+            err_msg=str(k),
+        )
+    flat_sa = jax.tree_util.tree_leaves_with_path(state.batch_stats)
+    flat_sb = dict(jax.tree_util.tree_leaves_with_path(stats))
+    for k, v in flat_sa:
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(flat_sb[k]), err_msg=str(k)
+        )
