@@ -43,7 +43,6 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import cv2
-    import numpy as np
 
     from crnn_ocr_tpu.infer import init_predictor
     from crnn_ocr_tpu.utils import metrics as metrics_lib

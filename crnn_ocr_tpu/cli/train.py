@@ -66,6 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable jax nan-checking (SURVEY.md §5.2)")
     p.add_argument("--profile_dir",
                    help="capture an xplane trace of the first eval interval")
+    p.add_argument("--tensorboard_dir",
+                   help="stream scalars to tensorboard (SURVEY.md §5.5)")
     return p
 
 
@@ -179,6 +181,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         exact_keras_loss=args.exact_keras_loss,
         mesh=mesh,
+        tensorboard_dir=args.tensorboard_dir,
     )
     fit(
         state,

@@ -8,7 +8,6 @@ pickled class map) with a safer on-disk format: JSON instead of pickle
 from __future__ import annotations
 
 import json
-import os
 from typing import Dict, Iterable, List, Sequence
 
 import numpy as np

@@ -14,7 +14,7 @@ affine jitter, noise, contrast).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import orbax.checkpoint as ocp
@@ -67,6 +67,22 @@ class CheckpointManager:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        # Pin a concrete local sharding on every leaf: checkpoints written on
+        # one backend (e.g. the TPU tunnel) must restore on another (CPU) —
+        # without this orbax tries the recorded (foreign) sharding and fails.
+        dev = jax.devices()[0]
+        sharding = jax.sharding.SingleDeviceSharding(dev)
+
+        def with_sharding(x):
+            if isinstance(x, jax.ShapeDtypeStruct):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                return jax.ShapeDtypeStruct(
+                    x.shape, x.dtype, sharding=sharding
+                )
+            return x
+
+        abstract_state = jax.tree.map(with_sharding, abstract_state)
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(abstract_state)
         )

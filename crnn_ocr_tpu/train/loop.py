@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import os
 import sys
 import time
 from typing import Callable, Dict, Iterator, Optional
@@ -39,6 +38,7 @@ class FitConfig:
     seed: int = 0
     exact_keras_loss: bool = False
     mesh: object = None  # optional jax.sharding.Mesh for DP
+    tensorboard_dir: Optional[str] = None  # SURVEY.md §5.5 observability
 
 
 def fit(
@@ -57,6 +57,14 @@ def fit(
 
     ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
     mfile = open(cfg.metrics_path, "a") if cfg.metrics_path else None
+    tb = None
+    if cfg.tensorboard_dir:
+        try:
+            from tensorboardX import SummaryWriter
+
+            tb = SummaryWriter(cfg.tensorboard_dir)
+        except Exception:
+            tb = None
 
     if cfg.mesh is not None:
         from crnn_ocr_tpu.parallel import mesh as mesh_lib
@@ -73,6 +81,12 @@ def fit(
         if mfile:
             mfile.write(json.dumps(rec) + "\n")
             mfile.flush()
+        if tb is not None:
+            step = rec.get("step", 0)
+            prefix = rec.get("kind", "train")
+            for k, v in rec.items():
+                if isinstance(v, (int, float)) and k != "step":
+                    tb.add_scalar(f"{prefix}/{k}", v, step)
 
     for i, batch in enumerate(train_iter):
         if i >= cfg.steps:
@@ -135,6 +149,8 @@ def fit(
         ckpt.wait()
     if mfile:
         mfile.close()
+    if tb is not None:
+        tb.close()
     return state
 
 

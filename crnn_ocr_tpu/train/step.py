@@ -21,7 +21,6 @@ this is the TPU-native equivalent of the reference's ``multi_gpu_model`` DP
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax
