@@ -42,31 +42,36 @@ def _tunnel_rtt():
     return _RTT
 
 
-def _device_time(step_fn, args, K=8, trials=3):
-    """True device time per step: K steps inside one jit (lax.scan),
-    scalar-checksum output, single host sync, tunnel RTT subtracted.
-    ``step_fn(*args)`` must return a pytree of arrays."""
+def _device_time(step_fn, const_args, varying_stacked, K=8, trials=3):
+    """True device time per step: K steps inside one jit (lax.scan) over K
+    genuinely DISTINCT inputs (constant loop bodies get hoisted by XLA and
+    read as fake sub-ms steps), scalar-checksum output, single host sync,
+    tunnel RTT subtracted.
+
+    ``step_fn(*const_args, *varying)`` must return a pytree of arrays;
+    ``varying_stacked`` is a tuple of (K, ...) arrays scanned over.
+    """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(*args):
-        def body(c, _):
-            out = step_fn(*args)
+    def run(const_args, varying_stacked):
+        def body(c, xs):
+            out = step_fn(*const_args, *xs)
             s = sum(
                 jnp.sum(x).astype(jnp.float32)
                 for x in jax.tree_util.tree_leaves(out)
             )
             return c + s, None
 
-        tot, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
+        tot, _ = jax.lax.scan(body, jnp.float32(0), varying_stacked)
         return tot
 
-    np.asarray(run(*args))  # compile
+    np.asarray(run(const_args, varying_stacked))  # compile
     times = []
     for _ in range(trials):
         t0 = time.perf_counter()
-        np.asarray(run(*args))
+        np.asarray(run(const_args, varying_stacked))
         times.append(time.perf_counter() - t0)
     return (float(np.median(times)) - _tunnel_rtt()) / K
 
@@ -83,16 +88,18 @@ def main() -> int:
     rng = np.random.default_rng(0)
 
     def serving_bench(name, B, width, use_stn=False, beam=None,
-                      use_pallas=False):
+                      use_pallas=False, K=32):
         cfg = ModelConfig(
             num_classes=80, width=width, dtype="bfloat16", use_stn=use_stn,
             use_pallas_rnn=use_pallas,
         )
         model = CRNN(cfg=cfg)
-        raw = rng.integers(0, 255, size=(B, 48, width + 64)).astype(np.uint8)
-        heights = np.full((B,), 48, np.int32)
+        raw = rng.integers(
+            0, 255, size=(K, B, 48, width + 64)
+        ).astype(np.uint8)
+        heights = np.full((K, B), 48, np.int32)
         widths = rng.integers(
-            width // 2, width + 64, size=(B,)
+            width // 2, width + 64, size=(K, B)
         ).astype(np.int32)
         x0 = jnp.zeros((B, cfg.height, width, 1), jnp.float32)
         variables = model.init(
@@ -118,8 +125,8 @@ def main() -> int:
                 )
             return ctc.ctc_greedy_decode(probs, il)
 
-        args = tuple(map(jax.device_put, (raw, heights, widths)))
-        step = _device_time(serve, (variables,) + args)
+        varying = tuple(map(jax.device_put, (raw, heights, widths)))
+        step = _device_time(serve, (variables,), varying, K=K)
         rec = {
             "batch": B,
             "width": width,
@@ -129,38 +136,38 @@ def main() -> int:
         results["configs"][name] = rec
         print(name, rec, file=sys.stderr)
 
-    serving_bench("greedy_b256_w128", 256, 128)
-    serving_bench("greedy_b32_w128", 32, 128)
-    serving_bench("greedy_b256_w256", 256, 256)
-    serving_bench("stn_greedy_b256_w128", 256, 128, use_stn=True)
-    serving_bench("beam10_b32_w128", 32, 128, beam=10)
-    serving_bench("greedy_b256_w128_pallas", 256, 128, use_pallas=True)
+    # K (scan length) sized so device time >> tunnel RTT jitter (~20 ms)
+    serving_bench("greedy_b256_w128", 256, 128, use_pallas=True)
+    serving_bench("greedy_b32_w128", 32, 128, use_pallas=True, K=128)
+    serving_bench("greedy_b256_w256", 256, 256, use_pallas=True)
+    serving_bench("stn_greedy_b256_w128", 256, 128, use_stn=True,
+                  use_pallas=True)
+    serving_bench("beam10_b32_w128", 32, 128, beam=10, use_pallas=True, K=64)
+    serving_bench("greedy_b256_w128_noPallas", 256, 128, use_pallas=False)
 
     # config 5: training step throughput
     from crnn_ocr_tpu.train import create_train_state, make_train_step
 
     cfg = ModelConfig(num_classes=80, width=128)
-    B = 128
+    B, K = 128, 16
     state = create_train_state(cfg, jax.random.key(0), batch_size=B)
     step_fn = make_train_step(cfg, donate=False)
     T = cfg.time_steps() - cfg.ctc_time_slice
-    batch = {
-        "x": jnp.asarray(
-            rng.normal(size=(B, 32, 128)).astype(np.float32)
-        ),
-        "the_labels": jnp.asarray(
-            rng.integers(0, 80, (B, 16)).astype(np.int32)
-        ),
-        "input_length": jnp.full((B,), T, jnp.int32),
-        "label_length": jnp.full((B,), 16, jnp.int32),
-    }
+    xs = jnp.asarray(rng.normal(size=(K, B, 32, 128)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 80, (K, B, 16)).astype(np.int32))
     key = jax.random.key(1)
 
-    def train_once(state_, batch_):
+    def train_once(state_, x_, labels_):
+        batch_ = {
+            "x": x_,
+            "the_labels": labels_,
+            "input_length": jnp.full((B,), T, jnp.int32),
+            "label_length": jnp.full((B,), 16, jnp.int32),
+        }
         _, m = step_fn(state_, batch_, key)
         return m
 
-    step = _device_time(train_once, (state, batch), K=4)
+    step = _device_time(train_once, (state,), (xs, labels), K=K)
     results["configs"]["train_step_b128"] = {
         "batch": B,
         "lines_per_sec": round(B / step, 1),
