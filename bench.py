@@ -78,7 +78,7 @@ def main() -> int:
     # host materialization, subtract the tunnel RTT measured with a trivial
     # program. (Verified: per-call timing reads 2.98 ms/batch where the
     # device actually takes 0.72 ms.)
-    K = int(os.environ.get("BENCH_SCAN_LEN", "16"))
+    K = int(os.environ.get("BENCH_SCAN_LEN", "32"))
     raws = jnp.asarray(
         np.stack([raw] * K) ^ np.arange(K, dtype=np.uint8)[:, None, None, None]
     )
