@@ -60,8 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
     # infra
     p.add_argument("--save_path", required=True)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--n_devices", type=int, default=0,
-                   help="data-parallel mesh size (0 = all devices)")
+    p.add_argument("--n_devices", "--G", dest="n_devices", type=int,
+                   default=0,
+                   help="data-parallel mesh size (0 = all devices); --G is "
+                        "the reference's multi-GPU flag name")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --save_path "
+                        "(full state: params, optimizer, BN stats, step)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax nan-checking (SURVEY.md §5.2)")
     p.add_argument("--profile_dir",
@@ -159,6 +164,22 @@ def main(argv=None) -> int:
         schedule=args.lr_schedule, total_steps=args.steps,
         warmup_steps=args.warmup_steps,
     )
+    if args.resume:
+        from crnn_ocr_tpu.train import CheckpointManager
+
+        mgr = CheckpointManager(args.save_path)
+        step0 = mgr.latest_step()
+        if step0 is not None:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+                if hasattr(x, "shape")
+                else x,
+                state,
+            )
+            state = mgr.restore(abstract)
+            print(f"resumed from step {step0}", file=sys.stderr)
+        else:
+            print("no checkpoint found; starting fresh", file=sys.stderr)
     print(
         f"devices: {jax.devices()}  params: {param_count(state)/1e6:.2f}M",
         file=sys.stderr,

@@ -78,6 +78,39 @@ def main():
         # the reference era used (and h5_import.py parses).
         h5_path = os.path.join(OUT, f"keras_{case['name']}_weights.h5")
         model.save_weights(h5_path)
+
+        # gradient goldens (small_gru only): d(mean ctc_batch_cost)/d(weights)
+        # with the model in inference mode (BN moving stats, no dropout) —
+        # the pure C12 gradient contract, no BN-update entanglement.
+        if case["name"] == "small_gru":
+            import tensorflow as tf
+            from tf_keras import backend as KB
+
+            ncls = case["kwargs"]["num_classes"]
+            L = 4
+            labels = rng.integers(0, ncls, (3, L)).astype(np.int32)
+            lab_len = np.full((3, 1), L, np.int32)
+            T_model = case["kwargs"]["width"] // 4
+            in_len = np.full((3, 1), T_model - 2, np.int32)
+            xt = tf.constant(x)
+            with tf.GradientTape() as tape:
+                probs = model(xt, training=False)
+                loss = tf.reduce_mean(
+                    KB.ctc_batch_cost(
+                        labels, probs[:, 2:, :], in_len, lab_len
+                    )
+                )
+            grads = tape.gradient(loss, model.trainable_variables)
+            gblob = {"loss": np.float32(loss.numpy()),
+                     "x": x, "labels": labels,
+                     "in_len": in_len, "lab_len": lab_len}
+            for v, g in zip(model.trainable_variables, grads):
+                # name like "stem_conv/kernel:0"
+                key = v.name.replace("/", "__").replace(":0", "")
+                gblob[f"grad__{key}"] = g.numpy().astype(np.float32)
+            np.savez(os.path.join(OUT, "keras_small_gru_grads.npz"), **gblob)
+            print("wrote gradient goldens:", len(grads), "tensors,",
+                  "loss", float(loss.numpy()))
         np.savez(
             os.path.join(OUT, f"keras_{case['name']}_io.npz"),
             x=x,
