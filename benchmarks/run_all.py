@@ -136,16 +136,32 @@ def main() -> int:
         results["configs"][name] = rec
         print(name, rec, file=sys.stderr)
 
+    only = os.environ.get("BENCH_ONLY")
+
+    def want(name):
+        return only is None or only in name
+
     # K (scan length) sized so device time >> tunnel RTT jitter (~20 ms)
-    serving_bench("greedy_b256_w128", 256, 128, use_pallas=True)
-    serving_bench("greedy_b32_w128", 32, 128, use_pallas=True, K=128)
-    serving_bench("greedy_b256_w256", 256, 256, use_pallas=True)
-    serving_bench("stn_greedy_b256_w128", 256, 128, use_stn=True,
-                  use_pallas=True)
-    serving_bench("beam10_b32_w128", 32, 128, beam=10, use_pallas=True, K=64)
-    serving_bench("greedy_b256_w128_noPallas", 256, 128, use_pallas=False)
+    if want("greedy_b256_w128"):
+        serving_bench("greedy_b256_w128", 256, 128, use_pallas=True)
+    if want("greedy_b32_w128"):
+        serving_bench("greedy_b32_w128", 32, 128, use_pallas=True, K=128)
+    if want("greedy_b256_w256"):
+        serving_bench("greedy_b256_w256", 256, 256, use_pallas=True)
+    if want("stn"):
+        serving_bench("stn_greedy_b256_w128", 256, 128, use_stn=True,
+                      use_pallas=True)
+    if want("beam"):
+        serving_bench("beam10_b32_w128", 32, 128, beam=10, use_pallas=True,
+                      K=64)
+    if want("noPallas"):
+        serving_bench("greedy_b256_w128_noPallas", 256, 128, use_pallas=False)
 
     # config 5: training step throughput
+    if only is not None and "train" not in only:
+        out = os.path.join(os.path.dirname(__file__), "results.json")
+        print(json.dumps(results))
+        return 0
     from crnn_ocr_tpu.train import create_train_state, make_train_step
 
     cfg = ModelConfig(num_classes=80, width=128)

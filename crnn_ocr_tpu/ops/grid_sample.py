@@ -13,6 +13,7 @@ map to pixel centers [0, size-1]; out-of-range samples clamp to the border.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -105,6 +106,89 @@ def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(B, Ho, Wo, C)
 
 
+BAND = 8  # max vertical sample span (rows) per output row for the fast path
+
+
+def bilinear_sample_banded(
+    img: jnp.ndarray, coords: jnp.ndarray, band: int = BAND
+) -> jnp.ndarray:
+    """Banded bilinear sampling: the STN/augmentation fast path.
+
+    Observation: for the near-identity warps an STN produces, all samples of
+    one OUTPUT row lie within a few INPUT rows. So instead of gathering a
+    full image row per output pixel (bilinear_sample: B*N row gathers), we
+    gather a ``band``-row window per output ROW (16x less gather traffic)
+    and do the whole bilinear interpolation as ONE einsum against a combined
+    corner-weight matrix over W (MXU work, f32) + a tiny masked reduce over
+    the band. Falls back per-batch to :func:`bilinear_sample` via lax.cond
+    when any output row's vertical span exceeds the band (e.g. rotations
+    beyond ~15 deg at 32 px height).
+
+    Identical math to bilinear_sample (weights from unclipped positions,
+    border-clamped indices); unit-tested against it and map_coordinates.
+    """
+    B, H, W, C = img.shape
+    _, Ho, Wo, _ = coords.shape
+
+    x = (coords[..., 0] + 1.0) * (W - 1) / 2.0  # (B, Ho, Wo)
+    y = (coords[..., 1] + 1.0) * (H - 1) / 2.0
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx1 = x - x0f
+    wy1 = y - y0f
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, W - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, H - 1)
+
+    y_min = jnp.min(y0, axis=2)  # (B, Ho)
+    y_max = jnp.max(y1, axis=2)
+    span_ok = jnp.max(y_max - y_min) <= band - 1
+
+    def banded(_):
+        base = jnp.clip(y_min, 0, max(H - band, 0))  # (B, Ho)
+        ridx = base[:, :, None] + jnp.arange(band)[None, None, :]
+        ridx = jnp.minimum(ridx, H - 1).reshape(B, Ho * band)
+        win = jnp.take_along_axis(
+            img, ridx[:, :, None, None], axis=1
+        ).reshape(B, Ho, band, W, C)
+
+        # combined horizontal corner weights: (B, Ho, Wo, W)
+        iw = jnp.arange(W)[None, None, None, :]
+        mxc = wx0[..., None] * (iw == x0[..., None]) + wx1[..., None] * (
+            iw == x1[..., None]
+        )
+        # x-interpolated values at every band row: (B, Ho, band, Wo, C)
+        s = jnp.einsum(
+            "birwc,bijw->birjc",
+            win.astype(jnp.float32),
+            mxc,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # combined vertical corner weights over the band: (B, Ho, Wo, band)
+        r0 = (y0 - base[:, :, None])[..., None]  # (B, Ho, Wo, 1)
+        r1 = (y1 - base[:, :, None])[..., None]
+        ir = jnp.arange(band)[None, None, None, :]
+        myc = wy0[..., None] * (ir == r0) + wy1[..., None] * (ir == r1)
+        # out[b,i,j,c] = sum_r myc[b,i,j,r] * s[b,i,r,j,c]
+        out = jnp.einsum(
+            "bijr,birjc->bijc",
+            myc,
+            s,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return out.astype(img.dtype)
+
+    def general(_):
+        return bilinear_sample(img, coords).astype(img.dtype)
+
+    return jax.lax.cond(span_ok, banded, general, None)
+
+
 def grid_sample_affine(
     img: jnp.ndarray, theta: jnp.ndarray, out_height: int | None = None,
     out_width: int | None = None,
@@ -114,4 +198,4 @@ def grid_sample_affine(
     Ho = out_height or H
     Wo = out_width or W
     coords = affine_grid(theta, Ho, Wo)
-    return bilinear_sample(img, coords)
+    return bilinear_sample_banded(img, coords)

@@ -147,3 +147,27 @@ def test_rnn_bidirectional_is_time_symmetric():
     np.testing.assert_allclose(
         np.asarray(y_rev[:, ::-1, H:]), np.asarray(y[:, :, :H]), atol=1e-5
     )
+
+
+def test_banded_sampler_matches_general():
+    """Fast banded path == general path, incl. fallback on big rotations."""
+    import jax.numpy as jnp
+
+    from crnn_ocr_tpu.ops.grid_sample import (
+        affine_grid,
+        bilinear_sample,
+        bilinear_sample_banded,
+    )
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.normal(size=(3, 32, 64, 1)).astype(np.float32))
+    for scale, label in [(0.05, "small"), (0.6, "large-fallback")]:
+        theta = jnp.asarray(
+            (rng.normal(size=(3, 6)) * scale).astype(np.float32)
+        ) + jnp.asarray([1.0, 0, 0, 0, 1.0, 0])
+        coords = affine_grid(theta, 32, 64)
+        want = bilinear_sample(img, coords)
+        got = bilinear_sample_banded(img, coords)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, err_msg=label
+        )
