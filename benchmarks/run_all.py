@@ -193,6 +193,14 @@ def main() -> int:
           file=sys.stderr)
 
     out = os.path.join(os.path.dirname(__file__), "results.json")
+    if only:  # filtered run: merge into the existing sweep file
+        try:
+            with open(out) as f:
+                prev = json.load(f)
+            prev["configs"].update(results["configs"])
+            results = prev
+        except FileNotFoundError:
+            pass
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
