@@ -65,6 +65,17 @@ class Predictor:
 
     # ---- core batched path ----
 
+    def warmup(self, batch_size: int = 32, buckets=None) -> None:
+        """Pre-compile the forward graph for each width bucket so first-user
+        latency is compile-free (compiles are minutes on some hosts)."""
+        import numpy as np
+
+        for b in buckets or self.buckets:
+            dummy = [
+                np.full((self.cfg.height, b), 255, np.uint8)
+            ] * batch_size
+            self.predict_probs(dummy, bucket=b)
+
     def predict_probs(
         self, images: Sequence[np.ndarray], bucket: Optional[int] = None
     ):
