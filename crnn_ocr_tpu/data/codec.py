@@ -40,8 +40,19 @@ class LabelCodec:
     def blank_index(self) -> int:
         return len(self.classes)
 
-    def text_to_labels(self, text: str) -> List[int]:
-        return [self.classes[c] for c in text]
+    def text_to_labels(self, text: str, strict: bool = True) -> List[int]:
+        """Encode text; with ``strict=False`` unknown chars are dropped
+        (the practical choice when training with a fixed class map on a
+        corpus containing stray symbols)."""
+        if strict:
+            try:
+                return [self.classes[c] for c in text]
+            except KeyError as e:
+                raise KeyError(
+                    f"character {e.args[0]!r} not in class map "
+                    f"({self.num_classes} classes); use strict=False to drop"
+                ) from None
+        return [self.classes[c] for c in text if c in self.classes]
 
     def labels_to_text(self, labels: Sequence[int]) -> str:
         # -1 is dense-decode padding; blank should never appear post-decode
@@ -52,14 +63,19 @@ class LabelCodec:
             if int(l) >= 0 and int(l) in self.inverse
         )
 
-    def encode_batch(self, texts: Sequence[str], max_len: int | None = None):
-        """Dense (B, L) int32 labels + (B,) lengths, 0-padded."""
-        lens = np.array([len(t) for t in texts], np.int32)
+    def encode_batch(
+        self,
+        texts: Sequence[str],
+        max_len: int | None = None,
+        strict: bool = True,
+    ):
+        """Dense (B, L) int32 labels + (B,) true encoded lengths, 0-padded."""
+        encs = [self.text_to_labels(t, strict=strict) for t in texts]
+        lens = np.array([len(e) for e in encs], np.int32)
         L = int(max_len or max(1, lens.max()))
         out = np.zeros((len(texts), L), np.int32)
-        for i, t in enumerate(texts):
-            enc = self.text_to_labels(t)[:L]
-            out[i, : len(enc)] = enc
+        for i, enc in enumerate(encs):
+            out[i, : min(len(enc), L)] = enc[:L]
         return out, np.minimum(lens, L)
 
     # ---- persistence ----

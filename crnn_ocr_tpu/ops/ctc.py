@@ -305,10 +305,15 @@ def ctc_beam_search_decode(
     #   lengths:  (B, W)
     #   p_b: (B, W) log prob of prefix ending in blank
     #   p_nb: (B, W) log prob of prefix ending in its last symbol
+    #   hashes:   (B, W) uint32 rolling prefix hash (h' = h*P + sym + 1),
+    #             maintained incrementally so in-step duplicate detection is
+    #             O(W^2) scalar compares instead of O(W^2 * T) prefix scans.
     prefixes0 = jnp.full((B, W, T), -1, jnp.int32)
     lengths0 = jnp.zeros((B, W), jnp.int32)
     p_b0 = jnp.full((B, W), NEG).at[:, 0].set(0.0)  # only empty prefix alive
     p_nb0 = jnp.full((B, W), NEG)
+    hashes0 = jnp.zeros((B, W), jnp.uint32)
+    HASH_P = jnp.uint32(1000003)
 
     def logaddexp(a, b):
         m = jnp.maximum(a, b)
@@ -317,7 +322,7 @@ def ctc_beam_search_decode(
         return jnp.where(m > NEG / 2, out, NEG)
 
     def step(state, inp):
-        prefixes, lengths, p_b, p_nb, t = state
+        prefixes, lengths, p_b, p_nb, hashes, t = state
         lp = inp  # (B, C)
 
         total = logaddexp(p_b, p_nb)  # (B, W)
@@ -363,31 +368,27 @@ def ctc_beam_search_decode(
         # equal to an existing stay candidate, fold its mass into the stay
         # candidate's p_nb and kill the grow candidate.
 
-        # Detect grow candidate (i, c) == stay candidate j:
-        # prefix_i + [c] == prefix_j  <=>  lengths_j == lengths_i + 1,
-        # prefix_j[:lengths_i] == prefix_i[:lengths_i], prefix_j[lengths_i]==c.
-        # (B, W, W) prefix-of relation between beams:
-        pos = jnp.arange(T)[None, None, None, :]
-        pi = prefixes[:, :, None, :]  # (B, W, 1, T)
-        pj = prefixes[:, None, :, :]  # (B, 1, W, T)
-        li = lengths[:, :, None]  # (B, W, 1)
-        lj = lengths[:, None, :]  # (B, 1, W)
-        eq_up_to_li = jnp.all(
-            (pos >= li[:, :, :, None]) | (pi == pj), axis=-1
-        )  # (B, W, W)
-        child = eq_up_to_li & (lj == li + 1)  # j extends i by one symbol
-        # symbol j adds: prefix_j[l_i]
-        sym_j = jnp.take_along_axis(
-            jnp.broadcast_to(pj, (B, W, W, T)),
-            jnp.broadcast_to(li[:, :, :, None], (B, W, W, 1)),
-            axis=3,
-        )[:, :, :, 0]  # (B, W, W)
+        # Detect grow candidate (i, c) == stay candidate j via rolling
+        # hashes (prefix_j == prefix_i + [last_sym_j] <=> hash_j ==
+        # hash_i*P + last_sym_j + 1 and len_j == len_i + 1, up to 2^-32
+        # collision odds). No T-length prefix scans.
+        tgt = hashes[:, :, None] * HASH_P + (
+            (last_sym + 1).astype(jnp.uint32)
+        )[:, None, :]  # (B, W_i, W_j): hash beam i would get by adding sym_j
+        child = (
+            (tgt == hashes[:, None, :])
+            & (lengths[:, None, :] == lengths[:, :, None] + 1)
+            & (lengths[:, None, :] > 0)
+        )  # (B, W_i, W_j)
 
         # Fold: for each (i, c) grown candidate that equals stay beam j,
         # add its mass into stay j's p_nb and remove from grow set.
+        sym_j = jnp.broadcast_to(
+            jnp.maximum(last_sym, 0)[:, None, :], (B, W, W)
+        )
         grow_mass_to_j = jnp.where(
             child,
-            jnp.take_along_axis(ext_p_nb, jnp.maximum(sym_j, 0), axis=2),
+            jnp.take_along_axis(ext_p_nb, sym_j, axis=2),
             NEG,
         )  # (B, W_i, W_j): mass from beam i extending into beam j
         # total fold into j: logsumexp over i
@@ -403,19 +404,14 @@ def ctc_beam_search_decode(
         )  # (B, W)
         new_p_nb_same = logaddexp(new_p_nb_same, fold)
 
-        # Kill folded grow candidates:
-        killed = jnp.any(child, axis=2)[:, :, None] & (
-            jax.nn.one_hot(
-                jnp.where(jnp.any(child, axis=2), 0, -1), C, dtype=bool
-            )
-            & False
-        )  # placeholder, see below
-        # Build kill mask properly: grow candidate (i, c) is killed iff
-        # exists j with child[i, j] and sym_j[i, j] == c.
-        kill = jnp.zeros((B, W, C), bool)
+        # Kill folded grow candidates: (i, c) is killed iff exists j with
+        # child[i, j] and last_sym_j == c.
         kill = jnp.any(
             child[:, :, :, None]
-            & (sym_j[:, :, :, None] == jnp.arange(C)[None, None, None, :]),
+            & (
+                last_sym[:, None, :, None]
+                == jnp.arange(C)[None, None, None, :]
+            ),
             axis=2,
         )  # (B, W, C)
         ext_p_nb = jnp.where(kill, NEG, ext_p_nb)
@@ -462,6 +458,12 @@ def ctc_beam_search_decode(
             axis=1,
         )
         sel_p_nb = jnp.where(is_stay, stay_p_nb, grow_p_nb)
+        sel_hash = jnp.take_along_axis(hashes, src_beam, axis=1)
+        new_hashes = jnp.where(
+            is_stay,
+            sel_hash,
+            sel_hash * HASH_P + (sym + 1).astype(jnp.uint32),
+        )
 
         # Frames past input_length: state frozen.
         active = (t < input_length)[:, None]
@@ -469,11 +471,19 @@ def ctc_beam_search_decode(
         new_lengths = jnp.where(active, new_lengths, lengths)
         sel_p_b = jnp.where(active, sel_p_b, p_b)
         sel_p_nb = jnp.where(active, sel_p_nb, p_nb)
+        new_hashes = jnp.where(active, new_hashes, hashes)
 
-        return (new_prefixes, new_lengths, sel_p_b, sel_p_nb, t + 1), None
+        return (
+            new_prefixes,
+            new_lengths,
+            sel_p_b,
+            sel_p_nb,
+            new_hashes,
+            t + 1,
+        ), None
 
-    state0 = (prefixes0, lengths0, p_b0, p_nb0, jnp.int32(0))
-    (prefixes, lengths, p_b, p_nb, _), _ = jax.lax.scan(
+    state0 = (prefixes0, lengths0, p_b0, p_nb0, hashes0, jnp.int32(0))
+    (prefixes, lengths, p_b, p_nb, _, _), _ = jax.lax.scan(
         step, state0, jnp.transpose(log_probs, (1, 0, 2))
     )
 

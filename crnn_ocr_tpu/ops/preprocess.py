@@ -124,12 +124,30 @@ def preprocess_host(
 def pack_canvas(images: "list[np.ndarray]") -> tuple:
     """Stack variable-size grayscale images into a white-padded uint8 canvas.
 
+    Accepts (H, W) grayscale or (H, W, 3/4) color arrays (converted with the
+    standard luma weights, matching cv2's grayscale read within rounding).
+
     Returns (canvas (B, Hmax, Wmax) uint8, heights (B,), widths (B,)).
     """
-    heights = np.array([im.shape[0] for im in images], np.int32)
-    widths = np.array([im.shape[1] for im in images], np.int32)
+    if not images:
+        raise ValueError("pack_canvas: empty image list")
+    grays = []
+    for im in images:
+        im = np.asarray(im)
+        if im.ndim == 3:
+            rgb = im[..., :3].astype(np.float32)
+            # cv2 BGR order for its readers; callers passing RGB differ only
+            # in the .114/.299 swap — irrelevant for near-gray text scans.
+            im = (
+                0.114 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.299 * rgb[..., 2]
+            ).round()
+        if im.ndim != 2:
+            raise ValueError(f"expected 2D/3D image, got shape {im.shape}")
+        grays.append(np.clip(im, 0, 255).astype(np.uint8))
+    heights = np.array([im.shape[0] for im in grays], np.int32)
+    widths = np.array([im.shape[1] for im in grays], np.int32)
     Hm, Wm = int(heights.max()), int(widths.max())
-    canvas = np.full((len(images), Hm, Wm), 255, np.uint8)
-    for i, im in enumerate(images):
+    canvas = np.full((len(grays), Hm, Wm), 255, np.uint8)
+    for i, im in enumerate(grays):
         canvas[i, : im.shape[0], : im.shape[1]] = im
     return canvas, heights, widths

@@ -120,3 +120,26 @@ def test_synthetic_batches_pipeline():
     assert b["x"].shape == (4, 32, 128)
     assert b["input_length"].min() >= 1
     assert int(b["input_length"].max()) <= 128 // 4 - 2
+
+
+def test_codec_strict_and_lenient():
+    codec = LabelCodec.from_alphabet("abc")
+    with pytest.raises(KeyError):
+        codec.text_to_labels("abz")
+    assert codec.text_to_labels("abz", strict=False) == [0, 1]
+    dense, lens = codec.encode_batch(["az", "bb"], strict=False)
+    assert list(lens) == [1, 2]
+
+
+def test_pack_canvas_color_and_errors():
+    from crnn_ocr_tpu.ops.preprocess import pack_canvas
+
+    rgb = np.zeros((10, 12, 3), np.uint8)
+    rgb[..., 1] = 255  # green
+    canvas, hs, ws = pack_canvas([rgb])
+    assert canvas.shape == (1, 10, 12)
+    assert 140 < canvas[0, 0, 0] < 160  # luma of pure green ~150
+    with pytest.raises(ValueError):
+        pack_canvas([])
+    with pytest.raises(ValueError):
+        pack_canvas([np.zeros((2, 2, 2, 2), np.uint8)])
