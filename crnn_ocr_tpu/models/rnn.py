@@ -48,22 +48,26 @@ class BiRNN(nn.Module):
         H = self.units
         ngates = 3 if self.cell == "gru" else 4
 
+        # Params stored f32 (flax convention: param_dtype f32, compute in
+        # self.dtype); storing bf16 params breaks orthogonal init's QR on
+        # CPU and costs training precision.
         kernel = self.param(
             "kernel",
             nn.initializers.glorot_uniform(),
             (2, F, ngates * H),
-            self.dtype,
+            jnp.float32,
         )
         recurrent_kernel = self.param(
             "recurrent_kernel",
             nn.initializers.orthogonal(),
             (2, H, ngates * H),
-            self.dtype,
+            jnp.float32,
         )
         if self.cell == "gru":
             # Keras reset_after=True: separate input/recurrent biases.
             bias = self.param(
-                "bias", nn.initializers.zeros, (2, 2, ngates * H), self.dtype
+                "bias", nn.initializers.zeros, (2, 2, ngates * H),
+                jnp.float32,
             )
         else:
 
@@ -73,7 +77,7 @@ class BiRNN(nn.Module):
                 return b.at[..., H : 2 * H].set(1.0)
 
             bias = self.param(
-                "bias", lstm_bias_init, (2, ngates * H), self.dtype
+                "bias", lstm_bias_init, (2, ngates * H), jnp.float32
             )
 
         x = x.astype(self.dtype)
@@ -81,9 +85,10 @@ class BiRNN(nn.Module):
         xt = jnp.transpose(x, (1, 0, 2))
         x2 = jnp.stack([xt, xt[::-1]], axis=0)
 
-        # Hoisted input projection: one big MXU matmul per direction.
+        # Hoisted input projection: one big MXU matmul per direction
+        # (inputs in compute dtype, f32 accumulation).
         xw = jnp.einsum(
-            "dtbf,dfg->dtbg", x2, kernel,
+            "dtbf,dfg->dtbg", x2, kernel.astype(self.dtype),
             preferred_element_type=jnp.float32,
         )
         if self.cell == "gru":
@@ -101,8 +106,8 @@ class BiRNN(nn.Module):
             if bigru_supported(B, H):
                 hs = bigru_fused(
                     jnp.transpose(xw, (1, 0, 2, 3)).astype(self.dtype),
-                    recurrent_kernel,
-                    rec_bias,
+                    recurrent_kernel.astype(self.dtype),
+                    rec_bias.astype(jnp.float32),
                     self.pallas_interpret,
                 )  # (T, 2, B, H)
                 fwd = hs[:, 0]
@@ -116,7 +121,8 @@ class BiRNN(nn.Module):
                 # h: (2, B, H); xw_t: (2, B, 3H)
                 rec = (
                     jnp.einsum(
-                        "dbh,dhg->dbg", h, recurrent_kernel,
+                        "dbh,dhg->dbg", h,
+                        recurrent_kernel.astype(self.dtype),
                         preferred_element_type=jnp.float32,
                     )
                     + rec_bias[:, None, :]
@@ -137,7 +143,8 @@ class BiRNN(nn.Module):
             def step(carry, xw_t):
                 h, c = carry
                 rec = jnp.einsum(
-                    "dbh,dhg->dbg", h, recurrent_kernel,
+                    "dbh,dhg->dbg", h,
+                    recurrent_kernel.astype(self.dtype),
                     preferred_element_type=jnp.float32,
                 )
                 gates = xw_t + rec
