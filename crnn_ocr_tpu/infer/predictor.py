@@ -181,15 +181,13 @@ def init_predictor(model_dir: str, **kw) -> Predictor:
     cfg = load_model_config(model_dir)
     codec = load_codec(model_dir)
     template = create_train_state(cfg, jax.random.key(0))
-    abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-        if hasattr(x, "shape")
-        else x,
-        template,
-    )
     mgr = CheckpointManager(model_dir)
-    state = mgr.restore(abstract)
-    return Predictor(cfg, state.params, state.batch_stats, codec, **kw)
+    # restore only params+batch_stats: inference must not depend on which
+    # optimizer/schedule wrote the checkpoint (their opt_state trees differ)
+    params, batch_stats = mgr.restore_inference(
+        template.params, template.batch_stats
+    )
+    return Predictor(cfg, params, batch_stats, codec, **kw)
 
 
 def decode_predict_ctc(

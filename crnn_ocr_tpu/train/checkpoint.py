@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import orbax.checkpoint as ocp
@@ -86,6 +86,42 @@ class CheckpointManager:
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(abstract_state)
         )
+
+    def restore_inference(
+        self, abstract_params: Any, abstract_batch_stats: Any,
+        step: Optional[int] = None,
+    ) -> Tuple[Any, Any]:
+        """Restore only params + batch_stats from a full-train-state
+        checkpoint (inference loading must not depend on which optimizer/
+        schedule produced the checkpoint — their opt_state trees differ).
+
+        Builds the abstract restore tree from the CHECKPOINT'S OWN metadata
+        (so any optimizer/schedule state restores transparently) and returns
+        the two subtrees the forward pass needs.
+        """
+        del abstract_params, abstract_batch_stats  # shapes come from disk
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        dev = jax.devices()[0]
+        sharding = jax.sharding.SingleDeviceSharding(dev)
+        meta = ocp.StandardCheckpointer().metadata(
+            os.path.join(self.directory, str(step), "default")
+        )
+        tree = meta.item_metadata.tree
+
+        def w(x):
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                return jax.ShapeDtypeStruct(
+                    tuple(x.shape), x.dtype, sharding=sharding
+                )
+            return x
+
+        abstract = jax.tree.map(w, tree)
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract)
+        )
+        return restored["params"], restored["batch_stats"]
 
 
 def load_model_config(directory: str) -> ModelConfig:
