@@ -79,3 +79,29 @@ def test_decode_predict_ctc_free_function(saved_model):
     )
     assert len(texts) == B and len(texts[0]) == 2
     assert scores.shape == (B, 2)
+
+
+def test_init_predictor_optimizer_agnostic(tmp_path):
+    """Checkpoints written with any optimizer/schedule must load for
+    inference (regression: cosine-schedule opt_state used to break the
+    template-based restore)."""
+    from crnn_ocr_tpu.data import SyntheticConfig, SyntheticTextlines
+    from crnn_ocr_tpu.train import CheckpointManager, create_train_state
+
+    synth = SyntheticTextlines(SyntheticConfig(alphabet="01234"))
+    cfg = ModelConfig(
+        num_classes=synth.codec.num_classes, width=64, stem_filters=8,
+        block_filters=(8, 8, 8, 8), time_dense_size=8, n_units=8,
+        rnn_layers=1,
+    )
+    d = str(tmp_path / "m")
+    state = create_train_state(
+        cfg, jax.random.key(0), optimizer="rmsprop", schedule="cosine",
+        total_steps=100, warmup_steps=10,
+    )
+    mgr = CheckpointManager(d)
+    mgr.save(0, state, cfg, synth.codec)
+    mgr.wait()
+    pred = init_predictor(d)
+    out = pred.predict_text([np.full((32, 40), 255, np.uint8)])
+    assert isinstance(out[0], str)
