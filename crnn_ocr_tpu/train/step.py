@@ -38,10 +38,15 @@ def ctc_loss_vec(
     label_length: jnp.ndarray,
     ctc_time_slice: int = 2,
     exact_keras: bool = False,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Per-sample CTC loss from raw logits, applying the reference's
     ``[:, 2:, :]`` warm-up-frame slice (C6). ``input_length`` must already
-    be post-slice (pipeline.py handles that)."""
+    be post-slice (pipeline.py handles that).
+
+    ``use_pallas`` switches to the fused forward-backward kernel pair
+    (kernels/ctc_loss.py, analytic gradient) when the batch is lane-aligned;
+    identical numerics to the scan path (unit-tested)."""
     sliced = logits[:, ctc_time_slice:, :]
     if exact_keras:
         probs = jax.nn.softmax(sliced, axis=-1)
@@ -49,13 +54,24 @@ def ctc_loss_vec(
             :, 0
         ]
     log_probs = jax.nn.log_softmax(sliced, axis=-1)
+    if use_pallas:
+        from crnn_ocr_tpu.kernels.ctc_loss import ctc_loss_pallas, ctc_supported
+
+        B = log_probs.shape[0]
+        if ctc_supported(B, 2 * labels.shape[1] + 1):
+            return ctc_loss_pallas(
+                log_probs, labels, input_length, label_length
+            )
     return ctc.ctc_loss_from_log_probs(
         log_probs, labels, input_length, label_length
     )
 
 
 def make_train_step(
-    model_cfg: ModelConfig, exact_keras: bool = False, donate: bool = True
+    model_cfg: ModelConfig,
+    exact_keras: bool = False,
+    donate: bool = True,
+    use_pallas_ctc: bool = False,
 ):
     """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``."""
 
@@ -79,6 +95,7 @@ def make_train_step(
                 batch["label_length"],
                 ctc_time_slice=model_cfg.ctc_time_slice,
                 exact_keras=exact_keras,
+                use_pallas=use_pallas_ctc,
             )
             # Guard: an infeasible sample (label longer than frames) has
             # ~inf loss; clip its contribution so one bad line can't nuke

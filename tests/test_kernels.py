@@ -69,3 +69,85 @@ def test_bigru_supported_gate():
     assert bigru_supported(256, 256)
     assert not bigru_supported(8, 100)
     assert not bigru_supported(3, 128)
+
+
+class TestCtcPallas:
+    def _case(self, B=128, T=12, C=9, L=4, seed=0, varlen=True):
+        rng = np.random.default_rng(seed)
+        logits = rng.normal(size=(B, T, C)).astype(np.float32)
+        lp = jax.nn.log_softmax(jnp.asarray(logits), -1)
+        labels = jnp.asarray(
+            rng.integers(0, C - 1, size=(B, L)), jnp.int32
+        )
+        if varlen:
+            il = jnp.asarray(
+                rng.integers(2 * L + 1, T + 1, (B,)), jnp.int32
+            )
+            ll = jnp.asarray(rng.integers(1, L + 1, (B,)), jnp.int32)
+        else:
+            il = jnp.full((B,), T, jnp.int32)
+            ll = jnp.full((B,), L, jnp.int32)
+        return lp, labels, il, ll
+
+    def test_forward_matches_scan(self):
+        from crnn_ocr_tpu.kernels.ctc_loss import ctc_loss_pallas
+        from crnn_ocr_tpu.ops import ctc
+
+        lp, labels, il, ll = self._case()
+        want = ctc.ctc_forward_log_loss(lp, labels, il, ll, blank=lp.shape[-1] - 1)
+        got = ctc_loss_pallas(lp, labels, il, ll, True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    def test_gradients_match_scan(self):
+        from crnn_ocr_tpu.kernels.ctc_loss import ctc_loss_pallas
+        from crnn_ocr_tpu.ops import ctc
+
+        lp, labels, il, ll = self._case(seed=3)
+
+        def loss_p(lp):
+            return jnp.mean(ctc_loss_pallas(lp, labels, il, ll, True))
+
+        def loss_s(lp):
+            return jnp.mean(
+                ctc.ctc_forward_log_loss(
+                    lp, labels, il, ll, blank=lp.shape[-1] - 1
+                )
+            )
+
+        g_p = jax.grad(loss_p)(lp)
+        g_s = jax.grad(loss_s)(lp)
+        np.testing.assert_allclose(
+            np.asarray(g_p), np.asarray(g_s), rtol=1e-4, atol=1e-5
+        )
+
+    def test_gradients_through_logits(self):
+        """Grad through log_softmax composition, full lengths."""
+        from crnn_ocr_tpu.kernels.ctc_loss import ctc_loss_pallas
+        from crnn_ocr_tpu.ops import ctc
+
+        lp, labels, il, ll = self._case(seed=5, varlen=False)
+        logits = lp * 2.0  # arbitrary pre-activations
+
+        def loss_p(z):
+            return jnp.sum(
+                ctc_loss_pallas(
+                    jax.nn.log_softmax(z, -1), labels, il, ll, True
+                )
+            )
+
+        def loss_s(z):
+            return jnp.sum(
+                ctc.ctc_forward_log_loss(
+                    jax.nn.log_softmax(z, -1), labels, il, ll,
+                    blank=lp.shape[-1] - 1,
+                )
+            )
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_p)(logits)),
+            np.asarray(jax.grad(loss_s)(logits)),
+            rtol=1e-4,
+            atol=1e-5,
+        )
