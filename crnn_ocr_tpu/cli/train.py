@@ -22,7 +22,8 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     # data
-    p.add_argument("--dataset", default="files", choices=["files", "synthetic"])
+    p.add_argument("--dataset", default="files",
+                   choices=["files", "synthetic", "fonts"])
     p.add_argument("--path", help="image directory (files dataset)")
     p.add_argument("--annotation", default="annotation.txt")
     p.add_argument(
@@ -94,14 +95,22 @@ def main(argv=None) -> int:
     from crnn_ocr_tpu.models import ModelConfig
     from crnn_ocr_tpu.train import FitConfig, create_train_state, fit, param_count
 
-    if args.dataset == "synthetic":
-        synth = SyntheticTextlines(SyntheticConfig(augment=args.augment))
+    if args.dataset in ("synthetic", "fonts"):
+        if args.dataset == "fonts":
+            from crnn_ocr_tpu.data import FontTextlines
+
+            synth = FontTextlines()
+            bucket = max(args.buckets)
+        else:
+            synth = SyntheticTextlines(SyntheticConfig(augment=args.augment))
+            bucket = 128
         codec = synth.codec
 
         def train_iter():
             return device_batches(
                 synthetic_batches(
-                    batch_size=args.batch_size, synth=synth, seed=args.seed
+                    batch_size=args.batch_size, synth=synth, seed=args.seed,
+                    bucket=bucket, max_label_len=args.max_label_len,
                 ),
                 normalize=args.norm,
                 augment=args.augment,
@@ -111,7 +120,8 @@ def main(argv=None) -> int:
         def eval_iter():
             return device_batches(
                 synthetic_batches(
-                    batch_size=args.batch_size, synth=synth, seed=999
+                    batch_size=args.batch_size, synth=synth, seed=999,
+                    bucket=bucket, max_label_len=args.max_label_len,
                 ),
                 normalize=args.norm,
             )
@@ -176,7 +186,16 @@ def main(argv=None) -> int:
                 else x,
                 state,
             )
-            state = mgr.restore(abstract)
+            try:
+                state = mgr.restore(abstract)
+            except ValueError as e:
+                print(
+                    "resume failed: the checkpoint was written with a "
+                    "different optimizer/schedule configuration — pass the "
+                    f"same --opt/--lr_schedule/--warmup_steps flags ({e})",
+                    file=sys.stderr,
+                )
+                return 2
             print(f"resumed from step {step0}", file=sys.stderr)
         else:
             print("no checkpoint found; starting fresh", file=sys.stderr)

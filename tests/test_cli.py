@@ -1,0 +1,93 @@
+"""End-to-end CLI surface tests: the files-dataset path through
+cli.train -> saved artifacts -> cli.predict (the complete user workflow
+the reference's README documents)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from crnn_ocr_tpu.data import SyntheticConfig, SyntheticTextlines
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ds")
+    synth = SyntheticTextlines(
+        SyntheticConfig(alphabet="0123456789", min_len=2, max_len=4)
+    )
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(24):
+        imgs, texts = synth.sample_batch(1, rng)
+        name = f"l{i}.png"
+        cv2.imwrite(str(d / name), imgs[0])
+        lines.append(f"{name}\t{texts[0]}")
+    (d / "annotation.txt").write_text("\n".join(lines))
+    return str(d)
+
+
+@pytest.mark.slow
+def test_train_then_predict_cli(dataset_dir, tmp_path, capsys):
+    from crnn_ocr_tpu.cli.predict import main as predict_main
+    from crnn_ocr_tpu.cli.train import main as train_main
+
+    model_dir = str(tmp_path / "model")
+    rc = train_main(
+        [
+            "--path", dataset_dir,
+            "--annotation", "annotation.txt",
+            "--steps", "8",
+            "--eval_every", "8",
+            "--batch_size", "8",
+            "--n_units", "16",
+            "--time_dense_size", "16",
+            "--rnn_layers", "1",
+            "--val_fraction", "0.25",
+            "--save_path", model_dir,
+            "--lr_schedule", "cosine",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(model_dir, "model_config.json"))
+    assert os.path.exists(os.path.join(model_dir, "classes.json"))
+    assert os.path.exists(os.path.join(model_dir, "metrics.jsonl"))
+
+    out_file = str(tmp_path / "preds.tsv")
+    rc = predict_main(
+        [
+            "--model", model_dir,
+            "--image_dir", dataset_dir,
+            "--annotation", "annotation.txt",
+            "--result", out_file,
+            "--validate",
+            "--beam_width", "4",
+            "--top_paths", "2",
+        ]
+    )
+    assert rc == 0
+    rows = [l.split("\t") for l in open(out_file).read().splitlines()]
+    assert len(rows) == 24
+    # row: file, top1, score, top2, score2
+    assert all(len(r) >= 5 for r in rows)
+
+    # resume path: 4 more steps from the checkpoint
+    rc = train_main(
+        [
+            "--path", dataset_dir,
+            "--annotation", "annotation.txt",
+            "--steps", "4",
+            "--eval_every", "100",
+            "--batch_size", "8",
+            "--n_units", "16",
+            "--time_dense_size", "16",
+            "--rnn_layers", "1",
+            "--val_fraction", "0.25",
+            "--save_path", model_dir,
+            "--lr_schedule", "cosine",  # resume needs matching optimizer cfg
+            "--resume",
+        ]
+    )
+    assert rc == 0
