@@ -15,8 +15,9 @@ direction. Design (SURVEY.md §7.5 "BiGRU on MXU"):
     gate order z|r|h, dual bias; LSTM: gate order i|f|c|o, unit forget bias)
     so reference .h5 weights can be imported 1:1 for equal-weight parity.
 
-A fused Pallas cell (weights resident in VMEM across timesteps) is the
-planned optimization in crnn_ocr_tpu.kernels once profiling justifies it.
+The fused Pallas cell (weights VMEM-resident across timesteps) lives in
+crnn_ocr_tpu.kernels.bigru — opt-in via ``use_pallas`` (1.56x over this
+scan at flagship shapes on v5e).
 """
 
 from __future__ import annotations
