@@ -100,3 +100,62 @@ def test_tiny_training_learns(tiny_setup, tmp_path):
     assert cfg2 == cfg
     codec2 = load_codec(str(tmp_path / "ckpt"))
     assert codec2.classes == synth.codec.classes
+
+
+@pytest.mark.slow
+def test_resume_is_bitwise_equivalent(tiny_setup, tmp_path):
+    """Train 6 steps, checkpoint, restore into a fresh state, train 4 more —
+    params must equal a straight 10-step run exactly (full-state resume:
+    params, Adam slots, BN stats, step counter, and the data stream)."""
+    import jax.numpy as jnp
+
+    from crnn_ocr_tpu.train import CheckpointManager, make_train_step
+
+    synth, cfg, state0 = tiny_setup
+    step_fn = make_train_step(cfg, donate=False)
+    rng = jax.random.key(42)
+
+    def batches(n, skip=0):
+        it = _batches(synth, batch_size=8, steps=skip + n, seed=11)
+        out = []
+        for i, b in enumerate(it):
+            if i >= skip:
+                b.pop("texts", None)
+                b.pop("bucket", None)
+                out.append(b)
+        return out
+
+    # straight 10 steps
+    s_a = state0
+    for b in batches(10):
+        s_a, _ = step_fn(s_a, b, rng)
+
+    # 6 steps -> checkpoint -> restore -> 4 steps (stream continues at 6)
+    s_b = state0
+    for b in batches(6):
+        s_b, _ = step_fn(s_b, b, rng)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(6, s_b, cfg)
+    mgr.wait()
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape")
+        else x,
+        s_b,
+    )
+    s_c = mgr.restore(abstract)
+    for b in batches(4, skip=6):
+        s_c, _ = step_fn(s_c, b, rng)
+
+    assert int(s_c.step) == int(s_a.step)
+    for pa, pc in zip(
+        jax.tree_util.tree_leaves(s_a.params),
+        jax.tree_util.tree_leaves(s_c.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pc))
+    for sa, sc in zip(
+        jax.tree_util.tree_leaves(s_a.opt_state),
+        jax.tree_util.tree_leaves(s_c.opt_state),
+    ):
+        if hasattr(sa, "shape"):
+            np.testing.assert_array_equal(np.asarray(sa), np.asarray(sc))
