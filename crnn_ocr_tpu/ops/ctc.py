@@ -295,6 +295,11 @@ def ctc_beam_search_decode(
       decoded: (top_paths, B, T) int32, -1 padded.
       log_probs: (B, top_paths) float32 total prefix log-probabilities.
     """
+    if top_paths > beam_width:
+        # TF raises the same way ("requested more paths than the beam width")
+        raise ValueError(
+            f"top_paths ({top_paths}) must be <= beam_width ({beam_width})"
+        )
     B, T, C = y_pred.shape
     blank = C - 1
     W = beam_width

@@ -1,6 +1,7 @@
 """Golden-parity tests: JAX CTC decoders vs tf_keras K.ctc_decode oracle."""
 
 import numpy as np
+import pytest
 
 from crnn_ocr_tpu.ops import ctc
 
@@ -119,3 +120,10 @@ def test_beam_reduces_to_greedy_on_peaky_input():
     g, _ = ctc.ctc_greedy_decode(probs, in_len)
     b_list, _ = ctc.ctc_decode(probs, in_len, greedy=False, beam_width=5)
     assert ctc.trim_dense(g) == ctc.trim_dense(b_list[0])
+
+
+def test_beam_top_paths_guard():
+    probs = np.full((1, 4, 3), 1 / 3, np.float32)
+    with pytest.raises(ValueError):
+        ctc.ctc_decode(probs, np.array([4]), greedy=False, beam_width=2,
+                       top_paths=3)
