@@ -4,5 +4,13 @@ from crnn_ocr_tpu.infer.predictor import (
     decode_predict_ctc,
     init_predictor,
 )
+from crnn_ocr_tpu.infer.pretrained import load_pretrained, pretrained_dir
 
-__all__ = ["Prediction", "Predictor", "decode_predict_ctc", "init_predictor"]
+__all__ = [
+    "Prediction",
+    "Predictor",
+    "decode_predict_ctc",
+    "init_predictor",
+    "load_pretrained",
+    "pretrained_dir",
+]

@@ -1,0 +1,49 @@
+"""Pretrained model registry (the reference repo ships pretrained weights;
+so does this framework).
+
+Artifacts live under ``crnn_ocr_tpu/pretrained/<name>/`` as portable files:
+``model_config.json`` + ``classes.json`` + ``weights.h5`` (legacy Keras
+format — the same interchange format the importer/exporter round-trips, so
+the artifact is loadable by tf_keras too).
+
+    from crnn_ocr_tpu.infer import load_pretrained
+    predictor = load_pretrained("fonts-small")
+    print(predictor.predict_text([gray_image]))
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from crnn_ocr_tpu.data.codec import LabelCodec
+from crnn_ocr_tpu.infer.h5_import import import_keras_h5
+from crnn_ocr_tpu.infer.predictor import Predictor
+from crnn_ocr_tpu.models import ModelConfig
+
+_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "pretrained")
+
+REGISTRY = {
+    # printed text, DejaVu-family fonts, 62-class alphanumeric
+    "fonts-small": "fonts_small",
+}
+
+
+def pretrained_dir(name: str) -> str:
+    if name not in REGISTRY:
+        raise KeyError(f"unknown model {name!r}; have {sorted(REGISTRY)}")
+    return os.path.join(_ROOT, REGISTRY[name])
+
+
+def load_pretrained(name: str = "fonts-small", **kw) -> Predictor:
+    d = pretrained_dir(name)
+    with open(os.path.join(d, "model_config.json")) as f:
+        cfg_d = json.load(f)
+    cfg_d["block_filters"] = tuple(cfg_d["block_filters"])
+    cfg_d["block_pools"] = tuple(tuple(p) for p in cfg_d["block_pools"])
+    cfg = ModelConfig(**cfg_d)
+    codec = LabelCodec.load(os.path.join(d, "classes.json"))
+    params, batch_stats = import_keras_h5(
+        os.path.join(d, "weights.h5"), cfg
+    )
+    return Predictor(cfg, params, batch_stats, codec, **kw)
