@@ -23,7 +23,9 @@ import time
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model", required=True, help="saved model directory")
+    p.add_argument("--model", help="saved model directory")
+    p.add_argument("--pretrained", help="bundled pretrained model name "
+                   "(e.g. fonts-small)")
     p.add_argument("--image_dir", required=True)
     p.add_argument("--annotation", help="annotation file for --validate")
     p.add_argument("--result", help="output TSV path (default: stdout)")
@@ -44,10 +46,16 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import cv2
 
-    from crnn_ocr_tpu.infer import init_predictor
+    from crnn_ocr_tpu.infer import init_predictor, load_pretrained
     from crnn_ocr_tpu.utils import metrics as metrics_lib
 
-    predictor = init_predictor(args.model, normalize=args.norm)
+    if args.pretrained:
+        predictor = load_pretrained(args.pretrained, normalize=args.norm)
+    elif args.model:
+        predictor = init_predictor(args.model, normalize=args.norm)
+    else:
+        print("one of --model / --pretrained is required", file=sys.stderr)
+        return 2
 
     # collect images (+ optional references)
     refs = {}
