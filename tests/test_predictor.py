@@ -105,3 +105,17 @@ def test_init_predictor_optimizer_agnostic(tmp_path):
     pred = init_predictor(d)
     out = pred.predict_text([np.full((32, 40), 255, np.uint8)])
     assert isinstance(out[0], str)
+
+
+def test_predict_many_bucket_grouping(saved_model):
+    """Mixed widths route to their buckets; output order preserved."""
+    d, synth = saved_model
+    pred = init_predictor(d)
+    rng = np.random.default_rng(6)
+    widths = [40, 400, 100, 250, 60, 500]
+    images = [
+        (rng.random((32, w)) * 255).astype(np.uint8) for w in widths
+    ]
+    out = pred.predict_many(images, batch_size=2, timing=True)
+    assert len(out) == len(images)
+    assert all(p is not None and isinstance(p.text, str) for p in out)
