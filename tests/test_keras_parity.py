@@ -106,3 +106,44 @@ def test_h5_export_import_roundtrip(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(v), np.asarray(flat_sb[k]), err_msg=str(k)
         )
+
+
+def test_h5_import_name_map(tmp_path):
+    """Foreign checkpoints with different layer names import via name_map
+    (the path reference .h5 files with auto-generated names will use)."""
+    import h5py
+
+    from crnn_ocr_tpu.infer.h5_import import export_keras_h5
+    from crnn_ocr_tpu.train import create_train_state
+
+    cfg = CASES["small_gru"]
+    state = create_train_state(cfg, jax.random.key(9))
+    src = str(tmp_path / "canonical.h5")
+    export_keras_h5(state.params, state.batch_stats, cfg, src)
+
+    # rewrite with "foreign" layer names (keras-auto style)
+    dst = str(tmp_path / "foreign.h5")
+    rename = {}
+    with h5py.File(src, "r") as fi, h5py.File(dst, "w") as fo:
+        dec = lambda n: n.decode() if isinstance(n, bytes) else n
+        names = [dec(n) for n in fi.attrs["layer_names"]]
+        new_names = []
+        for i, n in enumerate(names):
+            nn = f"layer_{i}"
+            rename[n] = nn
+            new_names.append(nn)
+            gi = fi[n]
+            go = fo.create_group(nn)
+            go.attrs["weight_names"] = gi.attrs["weight_names"]
+            for wn in [dec(w) for w in gi.attrs["weight_names"]]:
+                go.create_dataset(wn, data=np.asarray(gi[wn]))
+        fo.attrs["layer_names"] = [n.encode() for n in new_names]
+        fo.attrs["backend"] = b"tensorflow"
+        fo.attrs["keras_version"] = b"2.21.0"
+
+    params, stats = import_keras_h5(dst, cfg, name_map=rename)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
