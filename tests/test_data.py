@@ -143,3 +143,43 @@ def test_pack_canvas_color_and_errors():
         pack_canvas([])
     with pytest.raises(ValueError):
         pack_canvas([np.zeros((2, 2, 2, 2), np.uint8)])
+
+
+def test_device_batches_prefetch_thread():
+    """The prefetch>0 path (background thread + queue) yields the same
+    batches as prefetch=0 and terminates cleanly."""
+    from crnn_ocr_tpu.data import device_batches, synthetic_batches
+
+    a = list(device_batches(
+        synthetic_batches(batch_size=4, bucket=64, steps=3, seed=5),
+        prefetch=0,
+    ))
+    b = list(device_batches(
+        synthetic_batches(batch_size=4, bucket=64, steps=3, seed=5),
+        prefetch=2,
+    ))
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(x["x"]), np.asarray(y["x"]), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(x["the_labels"]), np.asarray(y["the_labels"])
+        )
+
+
+def test_reader_epoch_bound_and_steps(image_dir):
+    cfg = ReaderConfig(
+        path=str(image_dir / "imgs"),
+        annotation="annotation.txt",
+        batch_size=4,
+        val_fraction=0.25,
+    )
+    r = Reader(cfg)
+    n_train = r.steps_per_epoch(train=True)
+    batches = list(r.run_generator(train=True, epochs=2))
+    assert len(batches) == 2 * n_train
+    # validation generator covers the val split once, ragged tail kept
+    val_batches = list(r.run_generator(train=False, epochs=1))
+    n_val_samples = sum(len(b["texts"]) for b in val_batches)
+    assert n_val_samples == 3  # 12 * 0.25
