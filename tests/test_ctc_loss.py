@@ -107,3 +107,40 @@ def test_ctc_loss_matches_optax():
     # optax uses log_epsilon=-1e5 (leaks tiny probability mass); our exact
     # -inf handling matches the Keras oracle tighter, so compare loosely here.
     np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs), rtol=1e-3, atol=1e-3)
+
+
+def test_ctc_loss_label_length_zero():
+    """Empty target: loss = -sum log p(blank) over valid frames."""
+    import jax
+
+    B, T, C = 2, 6, 5
+    rng = np.random.default_rng(9)
+    probs = rng.random((B, T, C)).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    labels = np.zeros((B, 3), np.int32)
+    in_len = np.array([[6], [4]], np.int32)
+    lab_len = np.zeros((B, 1), np.int32)
+    got = np.asarray(ctc.ctc_batch_cost(labels, probs, in_len, lab_len))[:, 0]
+    logp = np.asarray(jax.nn.log_softmax(np.log(probs + 1e-7), -1))
+    want = np.array([
+        -logp[0, :6, C - 1].sum(),
+        -logp[1, :4, C - 1].sum(),
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_ctc_loss_repeated_labels_need_blank():
+    """'aa' requires >= 3 frames (a blank between); 2 frames -> inf-ish."""
+    B, T, C = 1, 2, 4
+    probs = np.full((B, T, C), 0.25, np.float32)
+    labels = np.array([[1, 1]], np.int32)
+    loss = ctc.ctc_batch_cost(
+        labels, probs, np.array([[T]]), np.array([[2]])
+    )
+    assert float(loss[0, 0]) > 1e20
+    # with 3 frames it becomes finite
+    probs3 = np.full((B, 3, C), 0.25, np.float32)
+    loss3 = ctc.ctc_batch_cost(
+        labels, probs3, np.array([[3]]), np.array([[2]])
+    )
+    assert float(loss3[0, 0]) < 1e4
