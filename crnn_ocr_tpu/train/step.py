@@ -71,9 +71,16 @@ def make_train_step(
     model_cfg: ModelConfig,
     exact_keras: bool = False,
     donate: bool = True,
-    use_pallas_ctc: bool = False,
+    use_pallas_ctc: "bool | None" = None,
 ):
-    """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``."""
+    """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``.
+
+    ``use_pallas_ctc=None`` auto-enables the fused Pallas CTC kernels on TPU
+    backends (measured 1.45x on the full train step at B=128 on v5e: 2.21 ->
+    1.53 ms); lane-misaligned batches fall back to the scan path either way.
+    """
+    if use_pallas_ctc is None:
+        use_pallas_ctc = jax.default_backend() in ("tpu", "axon")
 
     def train_step(
         state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
