@@ -9,7 +9,7 @@ bf16, loss mode). ``--dataset synthetic`` trains on the built-in glyph task
 Examples:
   python -m crnn_ocr_tpu.cli.train --dataset synthetic --steps 500 \
       --save_path /tmp/model
-  python -m crnn_ocr_tpu.cli.train --path /data/iam --train_portion words \
+  python -m crnn_ocr_tpu.cli.train --path /data/iam \
       --annotation annotation.txt --steps 20000 --save_path /models/iam
 """
 

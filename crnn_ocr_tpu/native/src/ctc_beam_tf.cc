@@ -1,9 +1,12 @@
 // TF-exact CTC beam-search decoder, C ABI (reference C13 native equivalent).
 //
-// The reference decodes with TF's C++ CTCBeamSearchDecoderOp. This is a
-// clean-room C++ implementation of the same observable semantics, written
-// from the behavioral spec pinned in crnn_ocr_tpu/ops/ctc_beam_exact.py
-// (derived by differential testing against the installed tf_keras oracle):
+// The reference decodes with TF's C++ CTCBeamSearchDecoderOp. This file
+// reimplements the same observable semantics, written from the behavioral
+// spec pinned in crnn_ocr_tpu/ops/ctc_beam_exact.py (derived by
+// differential testing against the installed tf_keras oracle, with
+// TF's shipped ctc_beam_search.h / ctc_beam_entry.h headers — Apache-2.0,
+// credit: the TensorFlow authors — read to pin the sequential-eviction
+// semantics; identifier names like oldp/newp follow that algorithm):
 //
 //   * per step: log-softmax normalization of the input frame;
 //   * phase 1: every current beam's "stay" update (blank mass from old
