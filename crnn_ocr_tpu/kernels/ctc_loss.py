@@ -277,6 +277,13 @@ def _bwd_rule(interpret, res, g):
     grad_emit = -jnp.exp(
         jnp.minimum(gamma - log_total[None, None, :], 0.0)
     )
+    # CTC-infeasible samples (label needs more frames than input_length)
+    # have alpha finite but beta=NEG at every position, so gamma-log_total
+    # degenerates to NEG-NEG=0 and the clamp above would emit -1 per
+    # position. The scan path's autodiff produces exact zeros there; match
+    # it by zeroing wherever the occupancy or the total likelihood is dead.
+    feasible = (gamma > NEG / 2) & (log_total[None, None, :] > NEG / 2)
+    grad_emit = jnp.where(feasible, grad_emit, 0.0)
     # zero out frozen frames and invalid positions
     t_idx = jnp.arange(T)[:, None, None].astype(jnp.float32)
     grad_emit = jnp.where(t_idx < lens[None, :, :], grad_emit, 0.0)

@@ -122,6 +122,38 @@ class TestCtcPallas:
             np.asarray(g_p), np.asarray(g_s), rtol=1e-4, atol=1e-5
         )
 
+    def test_infeasible_samples_get_zero_gradients(self):
+        """A sample whose label needs more frames than input_length must
+        contribute exactly zero gradient (the scan path's autodiff does;
+        the analytic backward used to emit -1 per position there)."""
+        from crnn_ocr_tpu.kernels.ctc_loss import ctc_loss_pallas
+        from crnn_ocr_tpu.ops import ctc
+
+        lp, labels, il, ll = self._case(seed=7)
+        # Make samples 0 and 1 infeasible: full-length labels but too few
+        # frames (L labels need >= L frames, 2L-1 with repeats).
+        ll = ll.at[0].set(labels.shape[1]).at[1].set(labels.shape[1])
+        labels = labels.at[1, :].set(labels[1, 0])  # repeats: needs 2L-1
+        il = il.at[0].set(2).at[1].set(labels.shape[1] + 1)
+
+        def loss_p(lp):
+            return jnp.sum(ctc_loss_pallas(lp, labels, il, ll, True))
+
+        def loss_s(lp):
+            return jnp.sum(
+                ctc.ctc_forward_log_loss(
+                    lp, labels, il, ll, blank=lp.shape[-1] - 1
+                )
+            )
+
+        g_p = np.asarray(jax.grad(loss_p)(lp))
+        g_s = np.asarray(jax.grad(loss_s)(lp))
+        assert np.all(g_p[0] == 0.0), "infeasible sample 0 grads not zero"
+        assert np.all(g_p[1] == 0.0), "infeasible sample 1 grads not zero"
+        # feasible samples keep matching the scan path
+        np.testing.assert_allclose(g_p[2:], g_s[2:], rtol=1e-4, atol=1e-5)
+        assert not np.any(np.isnan(g_p))
+
     def test_gradients_through_logits(self):
         """Grad through log_softmax composition, full lengths."""
         from crnn_ocr_tpu.kernels.ctc_loss import ctc_loss_pallas
