@@ -158,15 +158,21 @@ def main(argv=None) -> int:
                 normalize=args.norm,
             )
 
-    cfg = ModelConfig(
-        num_classes=codec.num_classes,
-        n_units=args.n_units,
-        time_dense_size=args.time_dense_size,
-        rnn_cell=args.rnn,
-        rnn_layers=args.rnn_layers,
-        use_stn=args.stn,
-        dropout_rate=args.dropout,
-        dtype=args.dtype,
+    n_dev = args.n_devices or len(jax.devices())
+    from crnn_ocr_tpu.models import resolve_runtime_flags
+
+    cfg = resolve_runtime_flags(
+        ModelConfig(
+            num_classes=codec.num_classes,
+            n_units=args.n_units,
+            time_dense_size=args.time_dense_size,
+            rnn_cell=args.rnn,
+            rnn_layers=args.rnn_layers,
+            use_stn=args.stn,
+            dropout_rate=args.dropout,
+            dtype=args.dtype,
+        ),
+        n_shards=n_dev,
     )
     state = create_train_state(
         cfg, jax.random.key(args.seed), optimizer=args.opt,
@@ -204,7 +210,6 @@ def main(argv=None) -> int:
         file=sys.stderr,
     )
     mesh = None
-    n_dev = args.n_devices or len(jax.devices())
     if n_dev > 1:
         from crnn_ocr_tpu.parallel import make_mesh
 

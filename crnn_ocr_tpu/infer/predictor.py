@@ -215,6 +215,14 @@ def init_predictor(model_dir: str, **kw) -> Predictor:
     from crnn_ocr_tpu.train.state import create_train_state
 
     cfg = load_model_config(model_dir)
+    # use_pallas_rnn is a runtime knob (params identical either way): don't
+    # inherit whatever backend the checkpoint was TRAINED on — re-resolve
+    # the auto policy for THIS process (on for TPU, scan elsewhere).
+    from crnn_ocr_tpu.models import resolve_runtime_flags
+
+    cfg = resolve_runtime_flags(
+        dataclasses.replace(cfg, use_pallas_rnn=None)
+    )
     codec = load_codec(model_dir)
     template = create_train_state(cfg, jax.random.key(0))
     mgr = CheckpointManager(model_dir)

@@ -54,9 +54,12 @@ class ModelConfig:
     # y_pred[:, 2:, :] "early conv outputs are garbage" trick).
     ctc_time_slice: int = 2
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
-    # Fused Pallas recurrence for GRU layers (kernels/bigru.py); shapes must
-    # be MXU-aligned (units % 128 == 0, batch % 8 == 0) or it falls back.
-    use_pallas_rnn: bool = False
+    # Fused Pallas recurrence for GRU/LSTM layers (kernels/bigru.py); shapes
+    # must be MXU-aligned (units % 128 == 0, batch % 8 == 0) or it falls
+    # back. None = auto: on for TPU backends when mesh-free (resolved by
+    # resolve_runtime_flags at model-build time). This is a runtime knob,
+    # not architecture — params are identical either way.
+    use_pallas_rnn: "bool | None" = None
 
     @property
     def logits_dim(self) -> int:
@@ -182,3 +185,28 @@ class CRNN(nn.Module):
 
 def build_model(cfg: ModelConfig) -> CRNN:
     return CRNN(cfg=cfg)
+
+
+def resolve_runtime_flags(cfg: ModelConfig, n_shards: int = 1) -> ModelConfig:
+    """Pin auto (None) runtime knobs to concrete values for this process.
+
+    ``use_pallas_rnn=None`` -> True on TPU backends when running mesh-free
+    (``n_shards <= 1``); the bare Pallas custom call has no GSPMD
+    partitioning rule yet, so multi-device meshes keep the XLA scan path.
+    A once-per-process note is printed so runs record which path compiled.
+    """
+    import dataclasses as _dc
+    import sys as _sys
+
+    from crnn_ocr_tpu.models.rnn import pallas_rnn_default
+
+    if cfg.use_pallas_rnn is None:
+        on = pallas_rnn_default() and n_shards <= 1
+        print(
+            f"[crnn_ocr_tpu] rnn path: {'pallas fused cell' if on else 'xla scan'}"
+            f" (backend={__import__('jax').default_backend()},"
+            f" shards={n_shards})",
+            file=_sys.stderr,
+        )
+        return _dc.replace(cfg, use_pallas_rnn=on)
+    return cfg

@@ -22,11 +22,20 @@ scan at flagship shapes on v5e).
 
 from __future__ import annotations
 
-from typing import Literal
+from typing import Literal, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def pallas_rnn_default() -> bool:
+    """Auto policy for the fused Pallas recurrence: on for TPU backends.
+
+    (Multi-device GSPMD meshes resolve this to False at model-build time —
+    see ``models.crnn.resolve_runtime_flags`` — until the kernel carries an
+    SPMD partitioning rule.)"""
+    return jax.default_backend() in ("tpu", "axon")
 
 
 class BiRNN(nn.Module):
@@ -39,8 +48,9 @@ class BiRNN(nn.Module):
     cell: Literal["gru", "lstm"] = "gru"
     dtype: jnp.dtype = jnp.float32
     # Use the fused Pallas recurrence (crnn_ocr_tpu.kernels.bigru) when the
-    # shapes are MXU-aligned; GRU only. Falls back to lax.scan otherwise.
-    use_pallas: bool = False
+    # shapes are MXU-aligned; None = auto (on for TPU backends). Falls back
+    # to lax.scan otherwise.
+    use_pallas: Optional[bool] = None
     pallas_interpret: bool = False
 
     @nn.compact
@@ -101,16 +111,31 @@ class BiRNN(nn.Module):
 
         h0 = jnp.zeros((2, B, H), self.dtype)
 
-        if self.cell == "gru" and self.use_pallas:
-            from crnn_ocr_tpu.kernels.bigru import bigru_fused, bigru_supported
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = pallas_rnn_default()
+        if use_pallas:
+            from crnn_ocr_tpu.kernels.bigru import (
+                bigru_fused,
+                bigru_supported,
+                bilstm_fused,
+            )
 
             if bigru_supported(B, H):
-                hs = bigru_fused(
-                    jnp.transpose(xw, (1, 0, 2, 3)).astype(self.dtype),
-                    recurrent_kernel.astype(self.dtype),
-                    rec_bias.astype(jnp.float32),
-                    self.pallas_interpret,
-                )  # (T, 2, B, H)
+                xw_t = jnp.transpose(xw, (1, 0, 2, 3)).astype(self.dtype)
+                if self.cell == "gru":
+                    hs = bigru_fused(
+                        xw_t,
+                        recurrent_kernel.astype(self.dtype),
+                        rec_bias.astype(jnp.float32),
+                        self.pallas_interpret,
+                    )  # (T, 2, B, H)
+                else:
+                    hs = bilstm_fused(
+                        xw_t,
+                        recurrent_kernel.astype(self.dtype),
+                        self.pallas_interpret,
+                    )  # (T, 2, B, H)
                 fwd = hs[:, 0]
                 bwd = hs[::-1, 1]
                 out = jnp.concatenate([fwd, bwd], axis=-1)

@@ -71,8 +71,12 @@ def replicate_state(state: Any, mesh: Mesh) -> Any:
 def pad_batch_to(batch: Dict[str, Any], size: int) -> Dict[str, Any]:
     """Pad the batch axis up to ``size`` (divisibility for DP sharding).
 
-    Padded samples get input_length=1 and label_length=0 so they contribute
-    ~0 loss; callers should still prefer global_batch % n_devices == 0.
+    Padded samples get input_length=1 and label_length=0 (their raw loss is
+    -log p(blank) for one frame, NOT zero), so a ``valid_mask`` float array
+    is added: the train step computes a masked mean, zeroing the padding's
+    loss and gradient contribution exactly. Caveat: padded all-zero images
+    still pass the forward and perturb global-batch BatchNorm statistics
+    slightly; prefer global_batch % n_devices == 0 where possible.
     """
     b = next(v.shape[0] for v in batch.values() if hasattr(v, "shape"))
     if b == size:
@@ -89,4 +93,7 @@ def pad_batch_to(batch: Dict[str, Any], size: int) -> Dict[str, Any]:
         il = np.asarray(out["input_length"])
         il[b:] = 1
         out["input_length"] = il
+    mask = np.zeros((size,), np.float32)
+    mask[:b] = 1.0
+    out["valid_mask"] = mask
     return out

@@ -21,14 +21,29 @@ from crnn_ocr_tpu.models import ModelConfig
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 3,
+        track_metric: Optional[str] = None,
+        track_mode: str = "min",
+    ):
+        """``track_metric`` (e.g. ``"cer"``) makes rotation keep the BEST
+        ``max_to_keep`` checkpoints by that metric instead of the newest —
+        the reference's ``ModelCheckpoint(save_best_only=True)`` behavior.
+        Saves without metrics (e.g. the final latest-state save) are always
+        retained, so resume-from-latest keeps working alongside."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        self.track_metric = track_metric
+        opts = dict(max_to_keep=max_to_keep, create=True)
+        if track_metric is not None:
+            opts["best_fn"] = lambda m: float(m[track_metric])
+            opts["best_mode"] = track_mode
+            opts["keep_checkpoints_without_metrics"] = True
         self._mgr = ocp.CheckpointManager(
             self.directory,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
-            ),
+            options=ocp.CheckpointManagerOptions(**opts),
         )
 
     def save(
@@ -39,8 +54,15 @@ class CheckpointManager:
         codec: Optional[LabelCodec] = None,
         metrics: Optional[dict] = None,
     ) -> None:
+        save_metrics = None
+        if metrics is not None and self.track_metric is not None:
+            v = metrics.get(self.track_metric)
+            if v is not None and v == v:  # tracked metric present, not NaN
+                save_metrics = {k: float(x) for k, x in metrics.items()}
         self._mgr.save(
-            step, args=ocp.args.StandardSave(jax.tree.map(lambda x: x, state))
+            step,
+            args=ocp.args.StandardSave(jax.tree.map(lambda x: x, state)),
+            metrics=save_metrics,
         )
         if model_cfg is not None:
             cfg_dict = dataclasses.asdict(model_cfg)
@@ -62,6 +84,12 @@ class CheckpointManager:
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        """Step of the best checkpoint by the tracked metric (None when
+        nothing tracked yet); falls back to latest."""
+        s = self._mgr.best_step()
+        return s if s is not None else self._mgr.latest_step()
 
     def restore(self, abstract_state: Any, step: Optional[int] = None) -> Any:
         step = step if step is not None else self._mgr.latest_step()

@@ -50,12 +50,16 @@ def fit(
     cfg: FitConfig = FitConfig(),
 ) -> TrainState:
     train_step = step_lib.make_train_step(
-        model_cfg, exact_keras=cfg.exact_keras_loss
+        model_cfg, exact_keras=cfg.exact_keras_loss, mesh=cfg.mesh
     )
     eval_step = step_lib.make_eval_step(model_cfg)
     rng = jax.random.key(cfg.seed)
 
-    ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    ckpt = (
+        CheckpointManager(cfg.checkpoint_dir, track_metric="cer")
+        if cfg.checkpoint_dir
+        else None
+    )
     mfile = open(cfg.metrics_path, "a") if cfg.metrics_path else None
     tb = None
     if cfg.tensorboard_dir:
@@ -92,13 +96,19 @@ def fit(
         if i >= cfg.steps:
             break
         texts = batch.pop("texts", None)
+        batch.pop("bucket", None)
+        n_lines = int(batch["x"].shape[0])
         if cfg.mesh is not None:
             from crnn_ocr_tpu.parallel import mesh as mesh_lib
 
+            n_dev = cfg.mesh.size
+            if n_lines % n_dev:
+                batch = mesh_lib.pad_batch_to(
+                    batch, -(-n_lines // n_dev) * n_dev
+                )
             batch = mesh_lib.shard_batch(batch, cfg.mesh)
-        batch.pop("bucket", None)
         state, m = train_step(state, batch, rng)
-        lines_seen += int(batch["x"].shape[0])
+        lines_seen += n_lines
 
         if (i + 1) % cfg.log_every == 0 or i == 0:
             loss = float(m["loss"])
@@ -121,7 +131,8 @@ def fit(
 
         if eval_iter_fn and (i + 1) % cfg.eval_every == 0:
             ev = evaluate(
-                state, eval_step, eval_iter_fn(), codec, cfg.eval_batches
+                state, eval_step, eval_iter_fn(), codec, cfg.eval_batches,
+                mesh=cfg.mesh,
             )
             ev["step"] = i + 1
             print(
@@ -160,6 +171,7 @@ def evaluate(
     eval_iter: Iterator[Dict],
     codec: Optional[LabelCodec],
     max_batches: int = 8,
+    mesh=None,
 ) -> Dict[str, float]:
     losses, preds, refs = [], [], []
     for j, batch in enumerate(eval_iter):
@@ -167,10 +179,23 @@ def evaluate(
             break
         texts = batch.pop("texts", None)
         batch.pop("bucket", None)
+        n_lines = next(
+            v.shape[0] for v in batch.values() if hasattr(v, "shape")
+        )
+        if mesh is not None:
+            from crnn_ocr_tpu.parallel import mesh as mesh_lib
+
+            if n_lines % mesh.size:
+                batch = mesh_lib.pad_batch_to(
+                    batch, -(-n_lines // mesh.size) * mesh.size
+                )
+            batch.pop("valid_mask", None)  # eval slices on the host instead
+            batch = mesh_lib.shard_batch(batch, mesh)
         loss_vec, decoded = eval_step(state, batch)
-        losses.append(np.asarray(loss_vec))
+        losses.append(np.asarray(loss_vec)[:n_lines])
         if codec is not None and texts is not None:
-            for row, ref in zip(ctc.trim_dense(decoded), texts):
+            rows = ctc.trim_dense(decoded)[:n_lines]
+            for row, ref in zip(rows, texts):
                 preds.append(codec.labels_to_text(row))
                 refs.append(ref)
     out = {"loss": float(np.mean(np.concatenate(losses)))}

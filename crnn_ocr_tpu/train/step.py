@@ -21,6 +21,8 @@ this is the TPU-native equivalent of the reference's ``multi_gpu_model`` DP
 
 from __future__ import annotations
 
+import functools
+import sys
 from typing import Any, Dict, Tuple
 
 import jax
@@ -29,6 +31,53 @@ import jax.numpy as jnp
 from crnn_ocr_tpu.models import ModelConfig
 from crnn_ocr_tpu.ops import ctc
 from crnn_ocr_tpu.train.state import TrainState
+
+# Pad the batch axis up to the 128-lane tile when it buys the Pallas CTC
+# kernel; below this per-device batch the padding overhead (>2x kernel work)
+# outweighs the kernel's win over the scan path.
+_PALLAS_MIN_BATCH = 64
+
+_logged_paths = set()
+
+
+def _log_ctc_path(msg: str) -> None:
+    """Trace-time, once-per-shape note of which CTC kernel path compiled."""
+    if msg not in _logged_paths:
+        _logged_paths.add(msg)
+        print(f"[crnn_ocr_tpu] ctc path: {msg}", file=sys.stderr)
+
+
+def _ctc_pallas_padded(
+    log_probs, labels, input_length, label_length, interpret=False
+):
+    """Run the Pallas CTC kernel, padding the batch axis to the 128-lane
+    tile if needed (padded rows: 1 frame, empty label — their loss/grad is
+    sliced away; grads flow only into the real rows)."""
+    from crnn_ocr_tpu.kernels.ctc_loss import ctc_loss_pallas
+
+    B = log_probs.shape[0]
+    Bp = -(-B // 128) * 128
+    if Bp != B:
+        pad = Bp - B
+        log_probs = jnp.concatenate(
+            [log_probs, jnp.zeros((pad,) + log_probs.shape[1:],
+                                  log_probs.dtype)], 0
+        )
+        labels = jnp.concatenate(
+            [labels, jnp.zeros((pad,) + labels.shape[1:], labels.dtype)], 0
+        )
+        input_length = jnp.concatenate(
+            [input_length.reshape(B),
+             jnp.ones((pad,), input_length.dtype)], 0
+        )
+        label_length = jnp.concatenate(
+            [label_length.reshape(B),
+             jnp.zeros((pad,), label_length.dtype)], 0
+        )
+    loss = ctc_loss_pallas(
+        log_probs, labels, input_length, label_length, interpret
+    )
+    return loss[:B]
 
 
 def ctc_loss_vec(
@@ -39,14 +88,21 @@ def ctc_loss_vec(
     ctc_time_slice: int = 2,
     exact_keras: bool = False,
     use_pallas: bool = False,
+    mesh=None,
+    pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-sample CTC loss from raw logits, applying the reference's
     ``[:, 2:, :]`` warm-up-frame slice (C6). ``input_length`` must already
     be post-slice (pipeline.py handles that).
 
     ``use_pallas`` switches to the fused forward-backward kernel pair
-    (kernels/ctc_loss.py, analytic gradient) when the batch is lane-aligned;
-    identical numerics to the scan path (unit-tested)."""
+    (kernels/ctc_loss.py, analytic gradient); identical numerics to the scan
+    path (unit-tested). Batches that are not 128-lane-aligned are padded up
+    to the tile (when that costs < 2x kernel work, i.e. per-device batch >=
+    64); smaller batches take the scan path. Under a multi-device ``mesh``
+    the kernel runs per shard via ``shard_map`` — a bare Pallas custom call
+    has no GSPMD partitioning rule, so without this the sharded jit could
+    fail to partition or silently replicate the full batch per device."""
     sliced = logits[:, ctc_time_slice:, :]
     if exact_keras:
         probs = jax.nn.softmax(sliced, axis=-1)
@@ -55,13 +111,41 @@ def ctc_loss_vec(
         ]
     log_probs = jax.nn.log_softmax(sliced, axis=-1)
     if use_pallas:
-        from crnn_ocr_tpu.kernels.ctc_loss import ctc_loss_pallas, ctc_supported
-
         B = log_probs.shape[0]
-        if ctc_supported(B, 2 * labels.shape[1] + 1):
-            return ctc_loss_pallas(
-                log_probs, labels, input_length, label_length
+        n_shards = mesh.size if mesh is not None else 1
+        B_loc = B // n_shards if B % n_shards == 0 else 0
+        if B_loc >= _PALLAS_MIN_BATCH:
+            input_length = input_length.reshape(B)
+            label_length = label_length.reshape(B)
+            if n_shards > 1:
+                from jax.sharding import PartitionSpec as P
+
+                _log_ctc_path(
+                    f"pallas via shard_map (B={B} -> {B_loc}/device, "
+                    f"padded to {-(-B_loc // 128) * 128})"
+                )
+                # check_vma=False: pallas_call out_shapes carry no varying-
+                # mesh-axes metadata, which strict shard_map rejects.
+                fn = jax.shard_map(
+                    functools.partial(
+                        _ctc_pallas_padded, interpret=pallas_interpret
+                    ),
+                    mesh=mesh,
+                    in_specs=(P("data"), P("data"), P("data"), P("data")),
+                    out_specs=P("data"),
+                    check_vma=False,
+                )
+                return fn(log_probs, labels, input_length, label_length)
+            _log_ctc_path(
+                f"pallas (B={B}, padded to {-(-B // 128) * 128})"
+                if B % 128
+                else f"pallas (B={B})"
             )
+            return _ctc_pallas_padded(
+                log_probs, labels, input_length, label_length,
+                interpret=pallas_interpret,
+            )
+        _log_ctc_path(f"scan (B={B} below pallas threshold)")
     return ctc.ctc_loss_from_log_probs(
         log_probs, labels, input_length, label_length
     )
@@ -72,12 +156,23 @@ def make_train_step(
     exact_keras: bool = False,
     donate: bool = True,
     use_pallas_ctc: "bool | None" = None,
+    mesh=None,
+    pallas_interpret: bool = False,
 ):
     """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``.
 
     ``use_pallas_ctc=None`` auto-enables the fused Pallas CTC kernels on TPU
     backends (measured 1.45x on the full train step at B=128 on v5e: 2.21 ->
-    1.53 ms); lane-misaligned batches fall back to the scan path either way.
+    1.53 ms); batches below the pad threshold fall back to the scan path
+    either way. Pass ``mesh`` when the step runs GSPMD-sharded so the kernel
+    executes per shard (see :func:`ctc_loss_vec`).
+
+    Batches may carry an optional ``valid_mask`` (added by
+    ``parallel.mesh.pad_batch_to``): the loss is then a masked mean, so
+    divisibility padding contributes zero gradient. (Padded all-zero images
+    still pass through the forward and nudge BatchNorm batch statistics;
+    with momentum 0.99 and padding only on ragged final batches this is
+    negligible, but prefer globally divisible batches.)
     """
     if use_pallas_ctc is None:
         use_pallas_ctc = jax.default_backend() in ("tpu", "axon")
@@ -103,12 +198,21 @@ def make_train_step(
                 ctc_time_slice=model_cfg.ctc_time_slice,
                 exact_keras=exact_keras,
                 use_pallas=use_pallas_ctc,
+                mesh=mesh,
+                pallas_interpret=pallas_interpret,
             )
             # Guard: an infeasible sample (label longer than frames) has
             # ~inf loss; clip its contribution so one bad line can't nuke
             # the step.
             loss_vec = jnp.minimum(loss_vec, 1e4)
-            return jnp.mean(loss_vec), mutated["batch_stats"]
+            mask = batch.get("valid_mask")
+            if mask is None:
+                loss = jnp.mean(loss_vec)
+            else:
+                loss = jnp.sum(loss_vec * mask) / jnp.maximum(
+                    jnp.sum(mask), 1.0
+                )
+            return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

@@ -64,6 +64,61 @@ def test_birnn_pallas_path_matches_scan_path():
     )
 
 
+def _rand_lstm_inputs(rng, T=6, D=2, B=8, H=128):
+    xw = jnp.asarray(rng.normal(size=(T, D, B, 4 * H)).astype(np.float32))
+    u = jnp.asarray(rng.normal(size=(D, H, 4 * H)).astype(np.float32) * 0.1)
+    return xw, u
+
+
+def test_bilstm_pallas_matches_scan_forward():
+    from crnn_ocr_tpu.kernels.bigru import _bilstm_scan_ref, bilstm_fused
+
+    rng = np.random.default_rng(4)
+    xw, u = _rand_lstm_inputs(rng)
+    got = bilstm_fused(xw, u, True)  # interpret mode
+    want = _bilstm_scan_ref(xw, u)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_bilstm_pallas_gradients_match_scan():
+    from crnn_ocr_tpu.kernels.bigru import _bilstm_scan_ref, bilstm_fused
+
+    rng = np.random.default_rng(5)
+    xw, u = _rand_lstm_inputs(rng, T=4)
+
+    g1 = jax.grad(
+        lambda xw, u: jnp.sum(jnp.tanh(bilstm_fused(xw, u, True))),
+        argnums=(0, 1),
+    )(xw, u)
+    g2 = jax.grad(
+        lambda xw, u: jnp.sum(jnp.tanh(_bilstm_scan_ref(xw, u))),
+        argnums=(0, 1),
+    )(xw, u)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_birnn_lstm_pallas_path_matches_scan_path():
+    """BiRNN lstm (use_pallas=True) == scan path at equal params."""
+    from crnn_ocr_tpu.models.rnn import BiRNN
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(8, 5, 32)).astype(np.float32))
+    ref = BiRNN(units=128, cell="lstm", use_pallas=False)
+    variables = ref.init(jax.random.key(0), x)
+    got = BiRNN(
+        units=128, cell="lstm", use_pallas=True, pallas_interpret=True
+    ).apply(variables, x)
+    want = ref.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_bigru_supported_gate():
     assert bigru_supported(8, 128)
     assert bigru_supported(256, 256)

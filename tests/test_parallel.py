@@ -104,3 +104,141 @@ def test_pad_batch_to():
     assert out["x"].shape[0] == 8
     assert list(out["input_length"][5:]) == [1, 1, 1]
     assert list(out["label_length"][5:]) == [0, 0, 0]
+    assert list(out["valid_mask"]) == [1, 1, 1, 1, 1, 0, 0, 0]
+
+
+def test_padded_batch_step_matches_unpadded(setup):
+    """valid_mask must zero the padding's loss/grad contribution exactly:
+    the step result cannot depend on the padded rows' labels or lengths.
+    (The loss is only CLOSE to the unpadded batch's — padded zero images
+    still shift train-mode BatchNorm batch statistics, as documented.)"""
+    cfg, state, batch = setup
+    rng = jax.random.key(11)
+    train_step = make_train_step(cfg, donate=False)
+
+    small = {k: v[:12] for k, v in batch.items()}
+    s_ref, m_ref = train_step(
+        state, {k: jnp.asarray(v) for k, v in small.items()}, rng
+    )
+
+    mesh = make_mesh(8)
+    padded = pad_batch_to(dict(small), 16)
+    s_pad, m_pad = train_step(
+        replicate_state(state, mesh), shard_batch(padded, mesh), rng
+    )
+    # garbage labels/lengths in the padded rows must change NOTHING
+    garbage = {k: np.array(v) for k, v in padded.items()}
+    garbage["the_labels"][12:] = 3
+    garbage["label_length"][12:] = 4
+    garbage["input_length"][12:] = 9
+    s_g, m_g = train_step(
+        replicate_state(state, mesh), shard_batch(garbage, mesh), rng
+    )
+    np.testing.assert_allclose(
+        float(m_pad["loss"]), float(m_g["loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_pad.params),
+        jax.tree_util.tree_leaves(s_g.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # and the masked mean tracks the unpadded loss up to the BN-stat shift
+    np.testing.assert_allclose(
+        float(m_ref["loss"]), float(m_pad["loss"]), rtol=2e-2
+    )
+
+
+def test_fit_pads_ragged_batches_on_mesh():
+    """fit() must survive a global batch not divisible by the mesh (the
+    ragged-last-val-batch case on a real pod)."""
+    from crnn_ocr_tpu.data import SyntheticConfig, SyntheticTextlines
+    from crnn_ocr_tpu.train import FitConfig, fit
+
+    synth = SyntheticTextlines(
+        SyntheticConfig(alphabet="0123456789", min_len=2, max_len=4)
+    )
+    cfg = ModelConfig(
+        num_classes=synth.codec.num_classes,
+        width=64,
+        stem_filters=8,
+        block_filters=(8, 8, 12, 12),
+        time_dense_size=8,
+        n_units=8,
+        rnn_layers=1,
+        dropout_rate=0.0,
+    )
+    state = create_train_state(cfg, jax.random.key(0))
+    mesh = make_mesh(8)
+
+    def batches(n, bs):
+        it = device_batches(
+            synthetic_batches(batch_size=bs, bucket=64, steps=n, synth=synth),
+            prefetch=0,
+        )
+        for b in it:
+            yield b
+
+    fitcfg = FitConfig(steps=2, eval_every=2, eval_batches=1, log_every=1,
+                       mesh=mesh)
+    # batch of 12 on an 8-device mesh: 12 % 8 != 0 -> pad path must engage
+    out = fit(state, cfg, batches(2, 12),
+              eval_iter_fn=lambda: batches(1, 12), codec=synth.codec,
+              cfg=fitcfg)
+    assert int(out.step) == 2
+
+
+def test_sharded_train_step_pallas_ctc_matches_scan():
+    """use_pallas_ctc under a GSPMD mesh must run per-shard via shard_map
+    (interpret mode on CPU) and match the scan path's loss/grads."""
+    from crnn_ocr_tpu.data import SyntheticConfig, SyntheticTextlines
+
+    synth = SyntheticTextlines(
+        SyntheticConfig(alphabet="0123456789", min_len=2, max_len=4)
+    )
+    cfg = ModelConfig(
+        num_classes=synth.codec.num_classes,
+        width=64,
+        stem_filters=8,
+        block_filters=(8, 8, 12, 12),
+        time_dense_size=8,
+        n_units=8,
+        rnn_layers=1,
+        dropout_rate=0.0,
+    )
+    state = create_train_state(cfg, jax.random.key(1))
+    host = synthetic_batches(batch_size=16, bucket=64, steps=1, synth=synth)
+    batch = next(device_batches(host, prefetch=0))
+    batch.pop("texts")
+    batch.pop("bucket")
+    batch = {k: np.asarray(v) for k, v in batch.items()}
+    rng = jax.random.key(5)
+
+    mesh = make_mesh(2)  # 16 global / 2 devices = 8 per shard
+    import crnn_ocr_tpu.train.step as step_lib
+
+    old_thresh = step_lib._PALLAS_MIN_BATCH
+    step_lib._PALLAS_MIN_BATCH = 8  # let the tiny test batch take the kernel
+    try:
+        step_p = make_train_step(
+            cfg, donate=False, use_pallas_ctc=True, mesh=mesh,
+            pallas_interpret=True,
+        )
+        step_s = make_train_step(cfg, donate=False, use_pallas_ctc=False)
+        sp, mp = step_p(
+            replicate_state(state, mesh), shard_batch(batch, mesh), rng
+        )
+        ss, ms = step_s(
+            state, {k: jnp.asarray(v) for k, v in batch.items()}, rng
+        )
+    finally:
+        step_lib._PALLAS_MIN_BATCH = old_thresh
+    np.testing.assert_allclose(
+        float(mp["loss"]), float(ms["loss"]), rtol=2e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sp.params),
+        jax.tree_util.tree_leaves(ss.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )

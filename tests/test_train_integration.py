@@ -159,3 +159,23 @@ def test_resume_is_bitwise_equivalent(tiny_setup, tmp_path):
     ):
         if hasattr(sa, "shape"):
             np.testing.assert_array_equal(np.asarray(sa), np.asarray(sc))
+
+
+def test_best_checkpoint_retained_under_rotation(tmp_path):
+    """A best-CER checkpoint must survive later worse saves (the reference's
+    ModelCheckpoint(save_best_only) behavior); metric-less final saves are
+    kept for resume-from-latest."""
+    from crnn_ocr_tpu.train.checkpoint import CheckpointManager
+
+    state = {"w": np.arange(4, dtype=np.float32)}
+    mgr = CheckpointManager(
+        str(tmp_path / "ck"), max_to_keep=2, track_metric="cer"
+    )
+    for step, cer in [(1, 0.5), (2, 0.05), (3, 0.4), (4, 0.3), (5, 0.2)]:
+        mgr.save(step, {"w": state["w"] + step}, metrics={"cer": cer})
+    mgr.save(6, {"w": state["w"] + 6})  # final latest, no metrics
+    mgr.wait()
+    assert mgr.best_step() == 2, "best-CER checkpoint was rotated away"
+    assert mgr.latest_step() == 6
+    got = mgr.restore({"w": jax.ShapeDtypeStruct((4,), np.float32)}, step=2)
+    np.testing.assert_array_equal(np.asarray(got["w"]), state["w"] + 2)
