@@ -88,7 +88,7 @@ def main() -> int:
     rng = np.random.default_rng(0)
 
     def serving_bench(name, B, width, use_stn=False, beam=None,
-                      use_pallas=False, K=32):
+                      use_pallas=False, K=32, beam_exact=True):
         cfg = ModelConfig(
             num_classes=80, width=width, dtype="bfloat16", use_stn=use_stn,
             use_pallas_rnn=use_pallas,
@@ -120,6 +120,14 @@ def main() -> int:
                 w_new // cfg.width_downsample - cfg.ctc_time_slice, 1, T
             )
             if beam:
+                if beam_exact:
+                    from crnn_ocr_tpu.ops.ctc_beam_device import (
+                        ctc_beam_search_decode_tf,
+                    )
+
+                    return ctc_beam_search_decode_tf(
+                        probs, il, beam_width=beam, top_paths=1
+                    )
                 return ctc.ctc_beam_search_decode(
                     probs, il, beam_width=beam, top_paths=1
                 )
@@ -152,8 +160,13 @@ def main() -> int:
         serving_bench("stn_greedy_b256_w128", 256, 128, use_stn=True,
                       use_pallas=True)
     if want("beam"):
+        # default beam path = on-device TF-exact decoder (ctc_beam_device)
         serving_bench("beam10_b32_w128", 32, 128, beam=10, use_pallas=True,
                       K=64)
+    if want("beamLegacy"):
+        # the admissible vectorized search (prefix-buffer formulation)
+        serving_bench("beam10_legacy_b32_w128", 32, 128, beam=10,
+                      use_pallas=True, K=64, beam_exact=False)
     if want("noPallas"):
         serving_bench("greedy_b256_w128_noPallas", 256, 128, use_pallas=False)
 

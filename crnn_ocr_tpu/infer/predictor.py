@@ -10,8 +10,10 @@ bytes and maps label ids back to text.
 ``decode`` modes:
   * greedy (default): on-device argmax decode, confidence =
     exp(-neg_sum_logits) analog kept as raw score (reference prints scores).
-  * beam: on-device vectorized beam search (fast path), or
-    ``exact_tf=True`` for the host-side bit-exact TF-semantics decoder.
+  * beam: on-device TF-exact beam search (ops/ctc_beam_device — replicates
+    TF's sequential-eviction semantics bit-for-bit on the oracle fuzz
+    distributions), or ``exact_tf=True`` for the host-side C++/python
+    decoder (same semantics, useful off-device or for cross-checking).
 """
 
 from __future__ import annotations

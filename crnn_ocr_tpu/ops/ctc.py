@@ -267,9 +267,16 @@ def ctc_beam_search_decode(
     beam_width: int = 10,
     top_paths: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched on-device CTC prefix beam search.
+    """Batched on-device CTC prefix beam search (textbook/admissible).
 
-    Matches ``K.ctc_decode(..., greedy=False)`` -> TF
+    NOTE: superseded as the default by the TF-exact decoder in
+    :mod:`crnn_ocr_tpu.ops.ctc_beam_device` (``ctc_decode`` routes there).
+    This vectorized search is kept as the *admissible* variant: it never
+    returns a lower-probability path than TF's (TF's sequential in-step
+    eviction loses mass on near-tie inputs), making it the better scorer
+    when TF-compat is not required.
+
+    Approximates ``K.ctc_decode(..., greedy=False)`` -> TF
     ``ctc_beam_search_decoder`` (ctc_ops.py:382) with its defaults
     (``merge_repeated=True`` at the TF level is a no-op for the returned
     top paths because prefix beam search already merges into prefixes).
@@ -530,6 +537,11 @@ def ctc_decode(
 ):
     """Drop-in equivalent of ``K.ctc_decode`` (tf_keras backend.py:7181).
 
+    Beam decoding uses the on-device TF-exact decoder
+    (:mod:`crnn_ocr_tpu.ops.ctc_beam_device`), which replicates TF's
+    sequential-eviction semantics bit-for-bit on the oracle fuzz
+    distributions (see that module's docstring for the derivation).
+
     Returns ``(decoded_list, log_prob)`` where ``decoded_list`` is a list of
     ``top_paths`` dense (B, T) int32 arrays padded with -1 (greedy always
     returns one), and ``log_prob`` is (B, top_paths) (greedy: (B, 1)
@@ -538,7 +550,9 @@ def ctc_decode(
     if greedy:
         decoded, score = ctc_greedy_decode(y_pred, input_length)
         return [decoded], score
-    decoded, scores = ctc_beam_search_decode(
+    from crnn_ocr_tpu.ops.ctc_beam_device import ctc_beam_search_decode_tf
+
+    decoded, scores = ctc_beam_search_decode_tf(
         y_pred, input_length, beam_width=beam_width, top_paths=top_paths
     )
     return [decoded[p] for p in range(top_paths)], scores

@@ -71,7 +71,7 @@ def _lse(a, b):
     return jnp.where(m > NEG / 2, out, NEG)
 
 
-def _beam_step(state, inputs, *, W: int, C: int):
+def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
     """One TF-exact beam step. See module docstring for the derivation."""
     (total, p_b, p_nb, hashes, parent_hash, last_label, length, alive) = state
     lp = inputs  # (B, C) log_softmax(log(p+eps)) for this frame
@@ -147,95 +147,149 @@ def _beam_step(state, inputs, *, W: int, C: int):
     cand = jnp.where(excl | dead_col | ~alive[:, :, None], NEG, cand)
 
     # Pool: [sorted stays (W), candidates (W*C, (branch, label) order)].
+    # (A per-branch top-(W+1) prefilter is provably lossless but measured
+    # SLOWER on v5e — many small top_k/argsort rows lower worse than one
+    # wide top_k — so the pool stays full-width.)
     N = W + W * C
     pool = jnp.concatenate([s_total, cand.reshape(B, W * C)], axis=1)
-    pool_idx_sorted = jnp.argsort(-pool, axis=1, stable=True)  # (B, N)
-    vals_sorted = jnp.take_along_axis(pool, pool_idx_sorted, axis=1)
-    finite_sorted = vals_sorted > NEG / 2
-    is_cand_sorted = pool_idx_sorted >= W
-    origin_sorted = jnp.where(
-        is_cand_sorted, (pool_idx_sorted - W) // C, W
-    )  # branch rank; stays -> W (sentinel slot in open_ext)
-    key_sorted = jnp.where(
-        is_cand_sorted, pool_idx_sorted - W, -1
-    )  # candidate order key i*C + l; stays -> -1 (before everything)
-    # sorted position of each stay's pool entry (pool index s = inv_perm[j])
-    rank_of_pool = jnp.zeros((B, N), jnp.int32).at[
-        jnp.arange(B)[:, None], pool_idx_sorted
-    ].set(jnp.arange(N, dtype=jnp.int32)[None, :])
-    pos_stay_j = jnp.take_along_axis(rank_of_pool, inv_perm, axis=1)  # (B,W)
-
-    # Gate fixpoint (point 3): open_i / zeroed_j over branch ranks.
     eligible = alive & (total > NEG / 2)
-    kappa = parent_idx * C + jnp.maximum(last_label, 0)  # (B, W) regen key
 
-    def fix_body(carry):
-        open_, zeroed, _, it = carry
-        open_ext = jnp.concatenate(
-            [open_, jnp.ones((B, 1), bool)], axis=1
-        )  # stays always included
-        inc = finite_sorted & jnp.take_along_axis(
-            open_ext, origin_sorted, axis=1
-        )  # (B, N)
+    # -------- Fast path: all gates open == one top-(W+1) --------
+    # Gating/zeroing is rare (it engages only on near-tie posteriors), and
+    # there is a cheap PROOF of when the all-open answer is exact:
+    #   * all-open pool is a superset of the truly-gated pool, and all-open
+    #     bottoms upper-bound the sequential bottoms, so
+    #     total_prev_i > bottom_final  =>  branch i's gate truly open;
+    #   * a stay still in the all-open top-W was never evicted, so its
+    #     branch cannot have been gate-zeroed;
+    #   * a strict value gap at the W boundary means dropping any gated-off
+    #     (necessarily unselected) candidate cannot change the selection.
+    # When every selected candidate's branch passes all three, the all-open
+    # top-W IS the sequential result; otherwise take the exact slow path.
+    topv1, topi1 = jax.lax.top_k(pool, W + 1)
+    bottom_final = topv1[:, W - 1]  # (B,)
+    sel_idx = topi1[:, :W]
+    sel_is_cand = sel_idx >= W
+    sel_branch = jnp.clip((sel_idx - W) // C, 0, W - 1)
+    # branches owning >= 1 selected candidate
+    bsel = jnp.any(
+        sel_is_cand[:, :, None]
+        & (sel_branch[:, :, None] == iW[None, None, :]),
+        axis=1,
+    )  # (B, W)
+    stay_in_top = jnp.any(
+        (~sel_is_cand[:, :, None])
+        & (sel_idx[:, :, None] == inv_perm[:, None, :]),
+        axis=1,
+    )  # (B, W): branch j's stay survived
+    ok_a = jnp.all(~bsel | (total > bottom_final[:, None]), axis=1)
+    safe_zero = stay_in_top | ~parent_found | (parent_idx >= iW[None, :])
+    ok_b = jnp.all(~bsel | safe_zero, axis=1)
+    ok_c = (topv1[:, W - 1] > topv1[:, W]) | (topv1[:, W] <= NEG / 2)
+    fast_ok = jnp.all(ok_a & ok_b & ok_c)
 
-        # bottom before sweep i: W-th best of {stays, open candidates < i}
-        thresh = (iW * C)[None, :, None]  # (1, W, 1)
-        m3 = inc[:, None, :] & (key_sorted[:, None, :] < thresh)  # (B,W,N)
-        cums = jnp.cumsum(m3.astype(jnp.int32), axis=2)
-        count = cums[:, :, -1]  # (B, W)
-        hit = jnp.argmax(cums >= W, axis=2)  # first pos reaching W
-        bottom = jnp.take_along_axis(
-            vals_sorted[:, None, :].repeat(W, 1), hit[:, :, None], axis=2
-        )[:, :, 0]
-        bottom = jnp.where(count >= W, bottom, NEG)
-        open_new = (
-            eligible
-            & ~zeroed
-            & ((count < W) | (total > bottom))
-        )
+    def fast_path(_):
+        return topv1[:, :W], topi1[:, :W]
 
-        # gate-zeroing: stay j evicted before its parent's regen attempt
-        # at key kappa_j, parent rank < j, parent gate open.
-        m4 = inc[:, None, :] & (
-            key_sorted[:, None, :] < kappa[:, :, None]
-        )  # (B, j, N)
-        cum4 = jnp.cumsum(m4.astype(jnp.int32), axis=2)
-        prior = jnp.where(
-            pos_stay_j > 0,
-            jnp.take_along_axis(
-                cum4, jnp.maximum(pos_stay_j - 1, 0)[:, :, None], axis=2
-            )[:, :, 0],
-            0,
-        )  # entries with higher priority than stay j, key < kappa_j
-        evicted_before = prior >= W
-        par_open = jnp.take_along_axis(
-            jnp.concatenate([open_, jnp.zeros((B, 1), bool)], axis=1),
-            jnp.where(parent_found, parent_idx, W),
+    # -------- Slow path: exact sequential gating (fixpoint) --------
+    def slow_path(_):
+        pool_idx_sorted = jnp.argsort(-pool, axis=1, stable=True)  # (B, N)
+        vals_sorted = jnp.take_along_axis(pool, pool_idx_sorted, axis=1)
+        finite_sorted = vals_sorted > NEG / 2
+        is_cand_sorted = pool_idx_sorted >= W
+        origin_sorted = jnp.where(
+            is_cand_sorted, (pool_idx_sorted - W) // C, W
+        )  # branch rank; stays -> W (sentinel slot in open_ext)
+        key_sorted = jnp.where(
+            is_cand_sorted, pool_idx_sorted - W, -1
+        )  # candidate order key i*C + l; stays -> -1 (before everything)
+        # sorted position of each stay's pool entry (pool idx = inv_perm[j])
+        rank_of_pool = jnp.zeros((B, N), jnp.int32).at[
+            jnp.arange(B)[:, None], pool_idx_sorted
+        ].set(jnp.arange(N, dtype=jnp.int32)[None, :])
+        pos_stay_j = jnp.take_along_axis(rank_of_pool, inv_perm, axis=1)
+
+        kappa = parent_idx * C + jnp.maximum(last_label, 0)  # regen key
+
+        def fix_body(carry):
+            open_, zeroed, _, it = carry
+            open_ext = jnp.concatenate(
+                [open_, jnp.ones((B, 1), bool)], axis=1
+            )  # stays always included
+            inc = finite_sorted & jnp.take_along_axis(
+                open_ext, origin_sorted, axis=1
+            )  # (B, N)
+
+            # bottom before sweep i: W-th best of {stays, open cands < i}
+            thresh = (iW * C)[None, :, None]  # (1, W, 1)
+            m3 = inc[:, None, :] & (key_sorted[:, None, :] < thresh)
+            cums = jnp.cumsum(m3.astype(jnp.int32), axis=2)
+            count = cums[:, :, -1]  # (B, W)
+            hit = jnp.argmax(cums >= W, axis=2)  # first pos reaching W
+            bottom = jnp.take_along_axis(
+                vals_sorted[:, None, :].repeat(W, 1), hit[:, :, None],
+                axis=2,
+            )[:, :, 0]
+            bottom = jnp.where(count >= W, bottom, NEG)
+            open_new = (
+                eligible
+                & ~zeroed
+                & ((count < W) | (total > bottom))
+            )
+
+            # gate-zeroing: stay j evicted before its parent's regen
+            # attempt at key kappa_j, parent rank < j, parent gate open.
+            m4 = inc[:, None, :] & (
+                key_sorted[:, None, :] < kappa[:, :, None]
+            )  # (B, j, N)
+            cum4 = jnp.cumsum(m4.astype(jnp.int32), axis=2)
+            prior = jnp.where(
+                pos_stay_j > 0,
+                jnp.take_along_axis(
+                    cum4, jnp.maximum(pos_stay_j - 1, 0)[:, :, None],
+                    axis=2,
+                )[:, :, 0],
+                0,
+            )  # higher-priority entries with key < kappa_j
+            evicted_before = prior >= W
+            par_open = jnp.take_along_axis(
+                jnp.concatenate([open_, jnp.zeros((B, 1), bool)], axis=1),
+                jnp.where(parent_found, parent_idx, W),
+                axis=1,
+            )
+            zeroed_new = (
+                alive
+                & parent_found
+                & (parent_idx < iW[None, :])
+                & par_open
+                & evicted_before
+            )
+            changed = jnp.any(open_new != open_) | jnp.any(
+                zeroed_new != zeroed
+            )
+            return open_new, zeroed_new, changed, it + 1
+
+        def fix_cond(carry):
+            _, _, changed, it = carry
+            return changed & (it < W + 2)
+
+        init = (eligible, jnp.zeros((B, W), bool), jnp.array(True), 0)
+        open_, zeroed, _, _ = jax.lax.while_loop(fix_cond, fix_body, init)
+
+        open_bc = jnp.repeat(open_, C, axis=1)  # (B, W*C) candidate gate
+        pool_masked = jnp.concatenate(
+            [s_total, jnp.where(open_bc, cand.reshape(B, W * C), NEG)],
             axis=1,
         )
-        zeroed_new = (
-            alive
-            & parent_found
-            & (parent_idx < iW[None, :])
-            & par_open
-            & evicted_before
+        tv, ti = jax.lax.top_k(pool_masked, W)  # ties: lowest index
+        return tv, ti
+
+    if force_fast:  # debug/benchmark knob: skip the exactness fallback
+        top_vals, top_idx = fast_path(None)
+    else:
+        top_vals, top_idx = jax.lax.cond(
+            fast_ok, fast_path, slow_path, None
         )
-        changed = jnp.any(open_new != open_) | jnp.any(zeroed_new != zeroed)
-        return open_new, zeroed_new, changed, it + 1
-
-    def fix_cond(carry):
-        _, _, changed, it = carry
-        return changed & (it < W + 2)
-
-    init = (eligible, jnp.zeros((B, W), bool), jnp.array(True), 0)
-    open_, zeroed, _, _ = jax.lax.while_loop(fix_cond, fix_body, init)
-
-    # ---------------- Final selection: masked top-W ----------------
-    open_bc = jnp.repeat(open_, C, axis=1)  # (B, W*C) per-candidate gate
-    pool_masked = jnp.concatenate(
-        [s_total, jnp.where(open_bc, cand.reshape(B, W * C), NEG)], axis=1
-    )
-    top_vals, top_idx = jax.lax.top_k(pool_masked, W)  # ties: lowest index
 
     is_stay = top_idx < W
     stay_branch = jnp.take_along_axis(
@@ -269,7 +323,10 @@ def _beam_step(state, inputs, *, W: int, C: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("beam_width", "top_paths", "merge_repeated")
+    jax.jit,
+    static_argnames=(
+        "beam_width", "top_paths", "merge_repeated", "_force_fast"
+    ),
 )
 def ctc_beam_search_decode_tf(
     y_pred: jnp.ndarray,
@@ -277,6 +334,7 @@ def ctc_beam_search_decode_tf(
     beam_width: int = 10,
     top_paths: int = 1,
     merge_repeated: bool = True,
+    _force_fast: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """TF-exact batched beam search, fully on-device.
 
@@ -313,7 +371,9 @@ def ctc_beam_search_decode_tf(
 
     def step(state, inp):
         lp, t = inp
-        new_state, (bp_src, bp_label) = _beam_step(state, lp, W=W, C=C)
+        new_state, (bp_src, bp_label) = _beam_step(
+            state, lp, W=W, C=C, force_fast=_force_fast
+        )
         frozen = (t >= input_length)[:, None]  # (B, 1)
         out_state = tuple(
             jnp.where(frozen, old, new)

@@ -79,6 +79,53 @@ def test_exact_beam_search_matches_keras_goldens_bitwise(goldens):
     assert not mismatches, mismatches[:4]
 
 
+def test_device_beam_matches_keras_goldens_bitwise(goldens):
+    """The on-device TF-exact beam decoder must reproduce every oracle
+    output — all paths AND scores, both posterior classes (VERDICT r1 #1:
+    done = bit-parity with the oracle through the on-device path)."""
+    from crnn_ocr_tpu.ops.ctc_beam_device import ctc_beam_search_decode_tf
+
+    data = goldens("ctc_beam.npz")
+    n = int(data["n_cases"])
+    mismatches = []
+    for i in range(n):
+        probs = data[f"b{i}_probs"]
+        in_len = data[f"b{i}_input_len"]
+        bw = int(data[f"b{i}_beam_width"])
+        tp = int(data[f"b{i}_top_paths"])
+        want_logp = data[f"b{i}_logp"]
+        dec, logp = ctc_beam_search_decode_tf(
+            probs, in_len, beam_width=bw, top_paths=tp
+        )
+        dec, logp = np.asarray(dec), np.asarray(logp)
+        for p in range(tp):
+            want = _trim_cols(data[f"b{i}_decoded{p}"])
+            got = _trim_cols(dec[p])
+            if got.shape != want.shape or not (got == want).all():
+                mismatches.append((i, p, got.tolist(), want.tolist()))
+        if not np.allclose(logp, want_logp, rtol=1e-4, atol=1e-4):
+            mismatches.append((i, "logp", logp.tolist(), want_logp.tolist()))
+    assert not mismatches, mismatches[:4]
+
+
+def test_device_beam_freeze_and_collapsed_beam():
+    """input_length=0 rows decode empty with score 0 (only the empty
+    prefix); top_paths beyond the live beam pad with -inf like the host."""
+    from crnn_ocr_tpu.ops.ctc_beam_device import ctc_beam_search_decode_tf
+
+    probs = np.full((2, 5, 3), 1 / 3, np.float32)
+    dec, logp = ctc_beam_search_decode_tf(
+        probs, np.array([0, 1]), beam_width=4, top_paths=4
+    )
+    dec, logp = np.asarray(dec), np.asarray(logp)
+    assert [int(v) for v in dec[0, 0] if v != -1] == []
+    assert logp[0, 0] == 0.0
+    # frozen row: paths 1..3 never existed -> -inf padding
+    assert np.all(np.isinf(logp[0, 1:])) and np.all(logp[0, 1:] < 0)
+    # il=1 row: empty + the 2 labels = 3 live beams, 4th is padding
+    assert np.isinf(logp[1, 3]) and logp[1, 3] < 0
+
+
 def test_vectorized_beam_matches_oracle_on_peaky_goldens(goldens):
     """The on-device vectorized beam search matches the oracle's TOP-1 path
     and score on peaky (realistic OCR posterior) golden cases — the odd-index
@@ -94,10 +141,10 @@ def test_vectorized_beam_matches_oracle_on_peaky_goldens(goldens):
         in_len = data[f"b{i}_input_len"]
         bw = int(data[f"b{i}_beam_width"])
         want_logp = data[f"b{i}_logp"]
-        dec_list, logp = ctc.ctc_decode(
-            probs, in_len, greedy=False, beam_width=bw, top_paths=1
+        decoded, logp = ctc.ctc_beam_search_decode(
+            probs, in_len, beam_width=bw, top_paths=1
         )
-        got = _trim_cols(np.asarray(dec_list[0]))
+        got = _trim_cols(np.asarray(decoded[0]))
         want = _trim_cols(data[f"b{i}_decoded0"])
         np.testing.assert_array_equal(got, want, err_msg=f"case {i}")
         np.testing.assert_allclose(
