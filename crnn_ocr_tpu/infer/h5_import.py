@@ -80,6 +80,24 @@ def import_keras_h5(
         dst_params[key] = {"scale": gamma, "bias": beta}
         dst_stats[key] = {"mean": mean, "var": var}
 
+    # STN front-end (reference C5/C8: loaded via custom_objects for the
+    # sampler; the sampler itself has no weights — only the localization
+    # CNN + theta head carry state)
+    if getattr(model_cfg, "use_stn", False):
+        stn: Dict = {}
+        n_loc = 0
+        while (name_map or {}).get(f"stn_conv{n_loc}", f"stn_conv{n_loc}") \
+                in layers:
+            n_loc += 1
+        for i in range(n_loc):
+            k, b = get(f"stn_conv{i}")
+            stn[f"Conv_{i}"] = {"kernel": k, "bias": b}
+        k, b = get("stn_dense")
+        stn[f"Dense_0"] = {"kernel": k, "bias": b}
+        k, b = get("stn_theta")
+        stn[f"Dense_1"] = {"kernel": k, "bias": b}
+        params["stn"] = stn
+
     # stem
     params["stem_conv"] = {"kernel": get("stem_conv")[0]}
     bn(params, stats, "stem_bn", "stem_bn")
@@ -154,6 +172,22 @@ def export_keras_h5(params, batch_stats, model_cfg, path: str) -> None:
             (f"{layer}/moving_variance:0", s["var"]),
         ]
 
+    if "stn" in params:
+        stn = params["stn"]
+        n_loc = sum(1 for k in stn if k.startswith("Conv_"))
+        for i in range(n_loc):
+            layers[f"stn_conv{i}"] = [
+                (f"stn_conv{i}/kernel:0", stn[f"Conv_{i}"]["kernel"]),
+                (f"stn_conv{i}/bias:0", stn[f"Conv_{i}"]["bias"]),
+            ]
+        layers["stn_dense"] = [
+            ("stn_dense/kernel:0", stn["Dense_0"]["kernel"]),
+            ("stn_dense/bias:0", stn["Dense_0"]["bias"]),
+        ]
+        layers["stn_theta"] = [
+            ("stn_theta/kernel:0", stn["Dense_1"]["kernel"]),
+            ("stn_theta/bias:0", stn["Dense_1"]["bias"]),
+        ]
     layers["stem_conv"] = [
         ("stem_conv/kernel:0", params["stem_conv"]["kernel"])
     ]

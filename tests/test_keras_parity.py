@@ -36,6 +36,13 @@ CASES = {
         block_filters=(32, 48, 48, 64), time_dense_size=32,
         n_units=48, rnn_layers=2, rnn_cell="gru", dropout_rate=0.0,
     ),
+    # config 3: STN variant — loc-CNN + theta head imported too (C5/C8)
+    "small_stn": ModelConfig(
+        num_classes=12, width=64, stem_filters=8,
+        block_filters=(16, 16, 24, 24), time_dense_size=16,
+        n_units=12, rnn_layers=1, rnn_cell="gru", dropout_rate=0.0,
+        use_stn=True,
+    ),
 }
 
 
@@ -147,3 +154,48 @@ def test_h5_import_name_map(tmp_path):
         jax.tree_util.tree_leaves(params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("variant", ["autonamed", "autonamed_stn"])
+def test_reference_artifact_migration_zero_config(variant):
+    """SURVEY.md C8/§8.6: a reference-style artifact dir (architecture JSON
+    + .h5 with Keras AUTO-GENERATED layer names + class map) must import
+    with zero manual mapping and reproduce the Keras outputs + decodes."""
+    from crnn_ocr_tpu.infer.keras_json import (
+        infer_name_map_from_h5,
+        load_reference_model,
+        model_config_from_keras_json,
+    )
+
+    mig = GOLDENS / f"migration_{variant}"
+    if not mig.exists():
+        pytest.skip("run tools/gen_keras_parity.py")
+
+    cfg, params, batch_stats, codec = load_reference_model(str(mig))
+    assert cfg.num_classes == 12 and cfg.rnn_cell == "gru"
+    assert cfg.use_stn == variant.endswith("stn")
+    assert codec is not None and codec.num_classes == 12
+
+    data = np.load(mig / "io.npz")
+    x, y_keras = data["x"], data["y"]
+    model = CRNN(cfg=cfg)
+    logits = model.apply(
+        {"params": params, "batch_stats": batch_stats}, x, train=False
+    )
+    y = np.asarray(jax.nn.softmax(logits, axis=-1))
+    np.testing.assert_allclose(y, y_keras, rtol=1e-4, atol=2e-5)
+
+    # decode parity end-to-end on the imported model
+    T = y.shape[1]
+    il = np.full((y.shape[0],), T, np.int32)
+    dec_j, _ = ctc.ctc_decode(y, il, greedy=True)
+    dec_k, _ = ctc.ctc_decode(y_keras, il, greedy=True)
+    assert ctc.trim_dense(dec_j[0]) == ctc.trim_dense(dec_k[0])
+
+    # the h5-only path (no JSON) must reconstruct the same mapping
+    cfg2, nm2 = infer_name_map_from_h5(str(mig / "model.h5"))
+    cfg1, nm1 = model_config_from_keras_json(str(mig / "model.json"))
+    assert nm1 == nm2
+    assert cfg2.block_filters == cfg1.block_filters
+    assert cfg2.n_units == cfg1.n_units
+    assert cfg2.use_stn == cfg1.use_stn

@@ -51,6 +51,14 @@ def main():
                 n_units=48, rnn_layers=2, rnn_cell="gru",
             ),
         ),
+        dict(  # STN-enabled variant (config 3: affine grid sampling)
+            name="small_stn",
+            kwargs=dict(
+                num_classes=12, width=64, stem_filters=8,
+                block_filters=(16, 16, 24, 24), time_dense_size=16,
+                n_units=12, rnn_layers=1, rnn_cell="gru", use_stn=True,
+            ),
+        ),
     ]
 
     for case in cases:
@@ -68,6 +76,16 @@ def main():
                     (rng.standard_normal(w.shape) * 0.15).astype(np.float32)
                 )
         model.set_weights(new_w)
+        if case["kwargs"].get("use_stn"):
+            # keep the theta head near identity: a wild random affine warps
+            # everything to the clamped border (degenerate, trivially equal)
+            lt = model.get_layer("stn_theta")
+            k, b = lt.get_weights()
+            lt.set_weights([
+                (0.01 * rng.standard_normal(k.shape)).astype(np.float32),
+                (np.array([1, 0, 0, 0, 1, 0], np.float32)
+                 + 0.05 * rng.standard_normal(6).astype(np.float32)),
+            ])
 
         h, wd = 32, case["kwargs"]["width"]
         x = rng.standard_normal((3, h, wd, 1)).astype(np.float32)
@@ -119,6 +137,57 @@ def main():
                if not isinstance(v, (tuple, str))},
         )
         print(case["name"], "y", y.shape, "->", h5_path)
+
+    # ---- reference-artifact migration golden: AUTO-NAMED layers ----
+    # Mimics the reference's saved artifacts (architecture JSON + .h5 with
+    # Keras auto-generated names + class map) for keras_json's zero-config
+    # migration path (SURVEY.md C8, §8.6).
+    for mig_name, mig_kwargs in [
+        ("autonamed", dict(
+            num_classes=12, width=64, stem_filters=8,
+            block_filters=(16, 16, 24, 24), time_dense_size=16,
+            n_units=12, rnn_layers=1, rnn_cell="gru", names=False,
+        )),
+        ("autonamed_stn", dict(
+            num_classes=12, width=64, stem_filters=8,
+            block_filters=(16, 16, 24, 24), time_dense_size=16,
+            n_units=12, rnn_layers=1, rnn_cell="gru", use_stn=True,
+            names=False,
+        )),
+    ]:
+        model = build_keras_crnn(**mig_kwargs)
+        new_w = []
+        for w in model.get_weights():
+            if w.ndim == 1 and np.allclose(w, 1.0):
+                new_w.append((1.0 + 0.3 * rng.standard_normal(w.shape)).astype(np.float32) ** 2 + 0.1)
+            elif w.ndim == 1:
+                new_w.append((0.2 * rng.standard_normal(w.shape)).astype(np.float32))
+            else:
+                new_w.append((rng.standard_normal(w.shape) * 0.15).astype(np.float32))
+        model.set_weights(new_w)
+        if mig_kwargs.get("use_stn"):
+            theta_layer = [l for l in model.layers
+                           if getattr(l, "units", None) == 6][0]
+            k, b = theta_layer.get_weights()
+            theta_layer.set_weights([
+                (0.01 * rng.standard_normal(k.shape)).astype(np.float32),
+                (np.array([1, 0, 0, 0, 1, 0], np.float32)
+                 + 0.05 * rng.standard_normal(6).astype(np.float32)),
+            ])
+        mig = os.path.join(OUT, f"migration_{mig_name}")
+        os.makedirs(mig, exist_ok=True)
+        model.save_weights(os.path.join(mig, "model.h5"))
+        with open(os.path.join(mig, "model.json"), "w") as f:
+            f.write(model.to_json())
+        import json as _json
+
+        alphabet = "0123456789ab"
+        with open(os.path.join(mig, "classes.json"), "w") as f:
+            _json.dump({c: i for i, c in enumerate(alphabet)}, f)
+        x = rng.standard_normal((3, 32, 64, 1)).astype(np.float32)
+        y = model.predict(x, verbose=0)
+        np.savez(os.path.join(mig, "io.npz"), x=x, y=y)
+        print(f"migration golden ({mig_name}):", mig)
 
 
 if __name__ == "__main__":
