@@ -53,7 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr_schedule", default="constant",
                    choices=["constant", "cosine", "cyclic"])
     p.add_argument("--warmup_steps", type=int, default=0)
-    p.add_argument("--steps", type=int, default=5000)
+    p.add_argument("--steps", type=int, default=5000,
+                   help="TOTAL step budget; --resume continues toward it "
+                        "replaying the exact remaining batch stream")
     p.add_argument("--eval_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--early_stop_patience", type=int, default=0)
@@ -71,7 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax nan-checking (SURVEY.md §5.2)")
     p.add_argument("--profile_dir",
-                   help="capture an xplane trace of the first eval interval")
+                   help="capture an xplane trace of ~20 early steps "
+                        "(tensorboard --logdir <dir>, profile plugin)")
     p.add_argument("--tensorboard_dir",
                    help="stream scalars to tensorboard (SURVEY.md §5.5)")
     return p
@@ -106,15 +109,17 @@ def main(argv=None) -> int:
             bucket = 128
         codec = synth.codec
 
-        def train_iter():
+        def train_iter(skip=0):
             return device_batches(
                 synthetic_batches(
                     batch_size=args.batch_size, synth=synth, seed=args.seed,
                     bucket=bucket, max_label_len=args.max_label_len,
+                    skip=skip,
                 ),
                 normalize=args.norm,
                 augment=args.augment,
                 augment_seed=args.seed,
+                augment_offset=skip,
             )
 
         def eval_iter():
@@ -144,12 +149,13 @@ def main(argv=None) -> int:
         )
         codec = reader.codec
 
-        def train_iter():
+        def train_iter(skip=0):
             return device_batches(
-                reader.run_generator(train=True),
+                reader.run_generator(train=True, skip=skip),
                 normalize=args.norm,
                 augment=args.augment,
                 augment_seed=args.seed,
+                augment_offset=skip,
             )
 
         def eval_iter():
@@ -227,11 +233,12 @@ def main(argv=None) -> int:
         exact_keras_loss=args.exact_keras_loss,
         mesh=mesh,
         tensorboard_dir=args.tensorboard_dir,
+        profile_dir=args.profile_dir,
     )
     fit(
         state,
         cfg,
-        train_iter(),
+        train_iter(skip=int(state.step)),
         eval_iter_fn=eval_iter,
         codec=codec,
         cfg=fitcfg,

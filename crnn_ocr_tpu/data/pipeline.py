@@ -34,16 +34,21 @@ def device_batches(
     prefetch: int = 2,
     augment: bool = False,
     augment_seed: int = 0,
+    augment_offset: int = 0,
 ) -> Iterator[Dict[str, jnp.ndarray]]:
     """Map raw host batches through the fused device preprocess graph
-    (+ optional on-device augmentation, ops/augment.py)."""
+    (+ optional on-device augmentation, ops/augment.py).
+
+    ``augment_offset``: global batch index of the first batch (resume
+    support — keeps the augmentation key stream aligned with a fresh run).
+    """
     if augment:
         import jax
 
         from crnn_ocr_tpu.ops.augment import augment_batch
 
         aug_key = jax.random.key(augment_seed)
-    n_produced = 0
+    n_produced = int(augment_offset)
 
     def produce(b):
         nonlocal n_produced
@@ -105,15 +110,20 @@ def synthetic_batches(
     max_label_len: int = 16,
     steps: Optional[int] = None,
     synth=None,
+    skip: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Host batch source over the synthetic glyph task (tests/benchmarks)."""
+    """Host batch source over the synthetic glyph task (tests/benchmarks).
+
+    Batch ``n`` draws from ``default_rng([seed, n])``, so the stream is
+    random-access: ``skip`` fast-forwards for deterministic mid-run resume
+    at zero cost (no discarded draws)."""
     from crnn_ocr_tpu.data.synthetic import SyntheticConfig, SyntheticTextlines
     from crnn_ocr_tpu.ops.preprocess import pack_canvas
 
     synth = synth or SyntheticTextlines(SyntheticConfig(augment=augment))
-    rng = np.random.default_rng(seed)
-    n = 0
+    n = int(skip)
     while steps is None or n < steps:
+        rng = np.random.default_rng([seed, n])
         images, texts = synth.sample_batch(batch_size, rng)
         canvas, hs, ws = pack_canvas(images)
         labels, lab_len = synth.codec.encode_batch(texts, max_label_len)

@@ -154,12 +154,20 @@ class Reader:
         return self._bucket_cache[i]
 
     def run_generator(
-        self, train: bool = True, epochs: Optional[int] = None
+        self, train: bool = True, epochs: Optional[int] = None,
+        skip: int = 0,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Infinite (or epochs-bounded) generator of raw host batches.
 
         Yields dicts with images still at native size (white-padded canvas)
         plus labels; device-side preprocessing happens in pipeline.py.
+
+        ``skip``: fast-forward past the first N batches WITHOUT decoding
+        their images (bucket planning still consumes the seeded rng
+        identically), so ``--resume`` replays the exact remaining batch
+        stream (SURVEY.md §5.4 data-iterator state — here the iterator
+        state is a pure function of (seed, config, global step), so the
+        step already persisted in the checkpoint fully determines it).
         """
         from crnn_ocr_tpu.ops.preprocess import pack_canvas
 
@@ -167,8 +175,12 @@ class Reader:
         rng = np.random.default_rng(cfg.shuffle_seed + (1 if train else 2))
         idx = self._train_idx if train else self._val_idx
         epoch = 0
+        to_skip = int(skip)
         while epochs is None or epoch < epochs:
             for chunk in self._epoch_batches(idx, rng, train):
+                if to_skip > 0:
+                    to_skip -= 1
+                    continue
                 images = [self._load_image(self.samples[i][0]) for i in chunk]
                 texts = [self.samples[i][1] for i in chunk]
                 canvas, hs, ws = pack_canvas(images)

@@ -28,7 +28,7 @@ from crnn_ocr_tpu.utils import metrics as metrics_lib
 
 @dataclasses.dataclass
 class FitConfig:
-    steps: int = 1000
+    steps: int = 1000  # TOTAL step budget (resume continues toward it)
     eval_every: int = 200
     eval_batches: int = 8
     checkpoint_dir: Optional[str] = None
@@ -39,6 +39,9 @@ class FitConfig:
     exact_keras_loss: bool = False
     mesh: object = None  # optional jax.sharding.Mesh for DP
     tensorboard_dir: Optional[str] = None  # SURVEY.md §5.5 observability
+    profile_dir: Optional[str] = None  # xplane trace dir (SURVEY.md §5.1)
+    profile_at: int = 5  # trace starts this many steps in (skip compiles)
+    profile_steps: int = 20  # steps captured in the trace
 
 
 def fit(
@@ -80,6 +83,11 @@ def fit(
     t_start = time.time()
     ema_loss = None
     lines_seen = 0
+    start_step = int(state.step)  # resume: cfg.steps is a TOTAL budget
+    from crnn_ocr_tpu.utils.profiling import StepTimer, xplane_trace
+
+    timer = StepTimer(window=cfg.log_every)
+    profiler_ctx = None  # active xplane_trace context, if any
 
     def log(rec: dict):
         if mfile:
@@ -93,7 +101,8 @@ def fit(
                     tb.add_scalar(f"{prefix}/{k}", v, step)
 
     for i, batch in enumerate(train_iter):
-        if i >= cfg.steps:
+        gstep = start_step + i + 1  # global step after this update
+        if gstep > cfg.steps:
             break
         texts = batch.pop("texts", None)
         batch.pop("bucket", None)
@@ -107,42 +116,54 @@ def fit(
                     batch, -(-n_lines // n_dev) * n_dev
                 )
             batch = mesh_lib.shard_batch(batch, cfg.mesh)
-        state, m = train_step(state, batch, rng)
+
+        if cfg.profile_dir and i == cfg.profile_at:
+            profiler_ctx = xplane_trace(cfg.profile_dir)
+            profiler_ctx.__enter__()
+        with timer:
+            state, m = train_step(state, batch, rng)
+        if profiler_ctx is not None and i == cfg.profile_at + cfg.profile_steps:
+            float(m["loss"])  # materialize: flush device work into the trace
+            profiler_ctx.__exit__(None, None, None)
+            profiler_ctx = None
+            print(f"profile trace written to {cfg.profile_dir}",
+                  file=sys.stderr)
         lines_seen += n_lines
 
-        if (i + 1) % cfg.log_every == 0 or i == 0:
+        if gstep % cfg.log_every == 0 or i == 0:
             loss = float(m["loss"])
             ema_loss = loss if ema_loss is None else 0.9 * ema_loss + 0.1 * loss
             dt = time.time() - t_start
             rec = {
-                "step": i + 1,
+                "step": gstep,
                 "loss": loss,
                 "ema_loss": ema_loss,
                 "grad_norm": float(m["grad_norm"]),
                 "lines_per_sec": lines_seen / dt,
                 "wall": dt,
+                **{f"host_step_{k}": v for k, v in timer.stats().items()},
             }
             print(
-                f"step {i+1:6d} loss {loss:9.4f} ema {ema_loss:9.4f} "
+                f"step {gstep:6d} loss {loss:9.4f} ema {ema_loss:9.4f} "
                 f"gnorm {rec['grad_norm']:8.3f} {rec['lines_per_sec']:8.1f} lines/s",
                 file=sys.stderr,
             )
             log({"kind": "train", **rec})
 
-        if eval_iter_fn and (i + 1) % cfg.eval_every == 0:
+        if eval_iter_fn and gstep % cfg.eval_every == 0:
             ev = evaluate(
                 state, eval_step, eval_iter_fn(), codec, cfg.eval_batches,
                 mesh=cfg.mesh,
             )
-            ev["step"] = i + 1
+            ev["step"] = gstep
             print(
-                f"eval  step {i+1}: loss {ev['loss']:.4f} CER {ev['cer']:.4f} "
+                f"eval  step {gstep}: loss {ev['loss']:.4f} CER {ev['cer']:.4f} "
                 f"WER {ev['wer']:.4f} acc {ev['seq_acc']:.4f}",
                 file=sys.stderr,
             )
             log({"kind": "eval", **ev})
             if ckpt:
-                ckpt.save(i + 1, state, model_cfg, codec, metrics=ev)
+                ckpt.save(gstep, state, model_cfg, codec, metrics=ev)
             if ev["cer"] < best_cer - 1e-6:
                 best_cer = ev["cer"]
                 evals_since_improve = 0
@@ -155,6 +176,8 @@ def fit(
                     print("early stopping", file=sys.stderr)
                     break
 
+    if profiler_ctx is not None:  # loop ended inside the trace window
+        profiler_ctx.__exit__(None, None, None)
     if ckpt:
         ckpt.save(int(state.step), state, model_cfg, codec)
         ckpt.wait()

@@ -73,12 +73,12 @@ def test_train_then_predict_cli(dataset_dir, tmp_path, capsys):
     # row: file, top1, score, top2, score2
     assert all(len(r) >= 5 for r in rows)
 
-    # resume path: 4 more steps from the checkpoint
+    # resume path: continue toward a 12-step TOTAL budget (8 done already)
     rc = train_main(
         [
             "--path", dataset_dir,
             "--annotation", "annotation.txt",
-            "--steps", "4",
+            "--steps", "12",
             "--eval_every", "100",
             "--batch_size", "8",
             "--n_units", "16",

@@ -179,3 +179,87 @@ def test_best_checkpoint_retained_under_rotation(tmp_path):
     assert mgr.latest_step() == 6
     got = mgr.restore({"w": jax.ShapeDtypeStruct((4,), np.float32)}, step=2)
     np.testing.assert_array_equal(np.asarray(got["w"]), state["w"] + 2)
+
+
+@pytest.mark.slow
+def test_files_resume_replays_exact_batch_stream(tmp_path):
+    """Files-dataset resume (SURVEY.md §5.4): fit 4 steps -> checkpoint ->
+    restore -> fit to a 8-step TOTAL with the stream skipped to step 4 ==
+    a straight 8-step run, params bitwise (the reader's iterator state is a
+    pure function of (seed, config, step); run_generator(skip=N) replays)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from crnn_ocr_tpu.data import Reader, ReaderConfig
+    from crnn_ocr_tpu.data.pipeline import device_batches
+    from crnn_ocr_tpu.train import CheckpointManager, FitConfig, fit
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    synth = SyntheticTextlines(
+        SyntheticConfig(alphabet="0123456789", min_len=2, max_len=4)
+    )
+    rng = np.random.default_rng(5)
+    lines = []
+    for i in range(32):
+        imgs, texts = synth.sample_batch(1, rng)
+        cv2.imwrite(str(d / f"l{i}.png"), imgs[0])
+        lines.append(f"l{i}.png\t{texts[0]}")
+    (d / "annotation.txt").write_text("\n".join(lines))
+
+    reader = Reader(ReaderConfig(path=str(d), batch_size=8, val_fraction=0.0,
+                                 shuffle_seed=3))
+    cfg = ModelConfig(
+        num_classes=reader.codec.num_classes, width=64, stem_filters=8,
+        block_filters=(8, 8, 12, 12), time_dense_size=8, n_units=8,
+        rnn_layers=1, dropout_rate=0.0,
+    )
+
+    def stream(skip=0):
+        return device_batches(reader.run_generator(train=True, skip=skip),
+                              prefetch=0)
+
+    def fresh_state():  # the train step donates buffers: one state per fit
+        return create_train_state(cfg, jax.random.key(0))
+
+    # straight 8 steps
+    s_a = fit(fresh_state(), cfg, stream(),
+              cfg=FitConfig(steps=8, log_every=100))
+
+    # 4 steps -> checkpoint -> restore -> 4 more (total budget 8)
+    ckdir = str(tmp_path / "ck")
+    s_b = fit(fresh_state(), cfg, stream(),
+              cfg=FitConfig(steps=4, log_every=100, checkpoint_dir=ckdir))
+    mgr = CheckpointManager(ckdir)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape") else x, s_b,
+    )
+    s_c = mgr.restore(abstract)
+    assert int(s_c.step) == 4
+    s_c = fit(s_c, cfg, stream(skip=4), cfg=FitConfig(steps=8, log_every=100))
+
+    assert int(s_c.step) == int(s_a.step) == 8
+    for pa, pc in zip(
+        jax.tree_util.tree_leaves(s_a.params),
+        jax.tree_util.tree_leaves(s_c.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pc))
+
+
+def test_profile_dir_writes_xplane_trace(tiny_setup, tmp_path):
+    """--profile_dir wiring (SURVEY.md §5.1): fit() with profile_dir set
+    must produce a loadable xplane trace directory."""
+    import os
+
+    from crnn_ocr_tpu.train import FitConfig, fit
+
+    synth, cfg, state = tiny_setup
+    prof = str(tmp_path / "prof")
+    fit(state, cfg, _batches(synth, batch_size=8, steps=10),
+        cfg=FitConfig(steps=10, log_every=100, profile_dir=prof,
+                      profile_at=2, profile_steps=3))
+    found = []
+    for root, _, files in os.walk(prof):
+        found += [f for f in files if f.endswith(".xplane.pb")]
+    assert found, f"no xplane trace under {prof}"
