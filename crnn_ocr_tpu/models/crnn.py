@@ -28,6 +28,8 @@ from flax import linen as nn
 
 from crnn_ocr_tpu.models.rnn import BiRNN
 from crnn_ocr_tpu.models.stn import STN
+from crnn_ocr_tpu.ops.conv import conv3x3_same
+from crnn_ocr_tpu.ops.pool import max_pool_fast
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,10 +115,29 @@ class DepthwiseSeparableBlock(nn.Module):
         )(x)
         x = nn.relu(x)
         if self.pool != (1, 1):
-            x = nn.max_pool(x, self.pool, strides=self.pool)
+            x = max_pool_fast(x, self.pool)
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         return x
+
+
+class _StemConv(nn.Module):
+    """3x3 SAME conv, checkpoint-compatible with ``nn.Conv(name=...)``
+    (param ``kernel``, no bias), but with the MXU weight-grad of
+    ops/conv.py."""
+
+    features: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        return conv3x3_same(x.astype(self.dtype), kernel.astype(self.dtype))
 
 
 class CRNN(nn.Module):
@@ -135,17 +156,15 @@ class CRNN(nn.Module):
         if cfg.use_stn:
             x = STN(dtype=dtype, name="stn")(x, train=train)
 
-        # Stem
-        x = nn.Conv(
-            cfg.stem_filters, (3, 3), padding="SAME", use_bias=False,
-            dtype=dtype, name="stem_conv",
-        )(x)
+        # Stem (same param tree as nn.Conv: stem_conv/kernel; the custom op
+        # reroutes only the Cin=1 weight gradient onto the MXU, ops/conv.py)
+        x = _StemConv(cfg.stem_filters, dtype=dtype, name="stem_conv")(x)
         x = nn.BatchNorm(
             use_running_average=not train, dtype=dtype, name="stem_bn",
             epsilon=1e-3, momentum=0.99,
         )(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = max_pool_fast(x, (2, 2))
 
         # Depthwise-separable backbone
         for i, (filters, pool) in enumerate(

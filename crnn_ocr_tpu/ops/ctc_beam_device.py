@@ -192,6 +192,11 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
         return topv1[:, :W], topi1[:, :W]
 
     # -------- Slow path: exact sequential gating (fixpoint) --------
+    # (A pool shrink to stays + top-K candidates was tried and REVERTED:
+    # candidates <= the worst stay are provably irrelevant, but any static
+    # cap on the rest can undercount m4's eviction priors — a dropped
+    # entry's in-branch beaters need not precede kappa_j — flipping the
+    # zeroing cascade on adversarial near-ties. Exactness wins.)
     def slow_path(_):
         pool_idx_sorted = jnp.argsort(-pool, axis=1, stable=True)  # (B, N)
         vals_sorted = jnp.take_along_axis(pool, pool_idx_sorted, axis=1)

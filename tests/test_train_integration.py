@@ -31,8 +31,15 @@ def tiny_setup():
         rnn_layers=1,
         dropout_rate=0.0,
     )
-    state = create_train_state(cfg, jax.random.key(0), learning_rate=3e-3)
-    return synth, cfg, state
+    return synth, cfg
+
+
+@pytest.fixture()
+def tiny_state(tiny_setup):
+    # Per-test state: fit()'s train step donates its input buffers, so a
+    # module-shared state would be deleted by whichever test runs first.
+    _, cfg = tiny_setup
+    return create_train_state(cfg, jax.random.key(0), learning_rate=3e-3)
 
 
 def _batches(synth, batch_size=16, steps=None, seed=0):
@@ -43,8 +50,9 @@ def _batches(synth, batch_size=16, steps=None, seed=0):
 
 
 @pytest.mark.slow
-def test_tiny_training_learns(tiny_setup, tmp_path):
-    synth, cfg, state = tiny_setup
+def test_tiny_training_learns(tiny_setup, tiny_state, tmp_path):
+    synth, cfg = tiny_setup
+    state = tiny_state
 
     fitcfg = FitConfig(
         steps=120,
@@ -103,7 +111,7 @@ def test_tiny_training_learns(tiny_setup, tmp_path):
 
 
 @pytest.mark.slow
-def test_resume_is_bitwise_equivalent(tiny_setup, tmp_path):
+def test_resume_is_bitwise_equivalent(tiny_setup, tiny_state, tmp_path):
     """Train 6 steps, checkpoint, restore into a fresh state, train 4 more —
     params must equal a straight 10-step run exactly (full-state resume:
     params, Adam slots, BN stats, step counter, and the data stream)."""
@@ -111,7 +119,8 @@ def test_resume_is_bitwise_equivalent(tiny_setup, tmp_path):
 
     from crnn_ocr_tpu.train import CheckpointManager, make_train_step
 
-    synth, cfg, state0 = tiny_setup
+    synth, cfg = tiny_setup
+    state0 = tiny_state
     step_fn = make_train_step(cfg, donate=False)
     rng = jax.random.key(42)
 
@@ -247,14 +256,15 @@ def test_files_resume_replays_exact_batch_stream(tmp_path):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pc))
 
 
-def test_profile_dir_writes_xplane_trace(tiny_setup, tmp_path):
+def test_profile_dir_writes_xplane_trace(tiny_setup, tiny_state, tmp_path):
     """--profile_dir wiring (SURVEY.md §5.1): fit() with profile_dir set
     must produce a loadable xplane trace directory."""
     import os
 
     from crnn_ocr_tpu.train import FitConfig, fit
 
-    synth, cfg, state = tiny_setup
+    synth, cfg = tiny_setup
+    state = tiny_state
     prof = str(tmp_path / "prof")
     fit(state, cfg, _batches(synth, batch_size=8, steps=10),
         cfg=FitConfig(steps=10, log_every=100, profile_dir=prof,
