@@ -158,6 +158,9 @@ def main() -> int:
                 "value": round(lines_per_sec, 2),
                 "unit": "lines/sec",
                 "vs_baseline": round(vs_baseline, 2),
+                # BASELINE.json metric text names p50 latency alongside
+                # throughput; device batch latency (p50 over reps, RTT-free)
+                "p50_latency_ms": round(1e3 * p50_latency_s, 3),
             }
         )
     )
