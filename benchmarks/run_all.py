@@ -218,39 +218,51 @@ def main() -> int:
         out = os.path.join(os.path.dirname(__file__), "results.json")
         print(json.dumps(results))
         return 0
+    import dataclasses
+
     from crnn_ocr_tpu.train import create_train_state, make_train_step
 
-    cfg = ModelConfig(num_classes=80, width=128)
     B, K = 128, 16
-    state = create_train_state(cfg, jax.random.key(0), batch_size=B)
-    step_fn = make_train_step(cfg, donate=False)
-    T = cfg.time_steps() - cfg.ctc_time_slice
+    base_cfg = ModelConfig(num_classes=80, width=128)
+    T = base_cfg.time_steps() - base_cfg.ctc_time_slice
     xs = jnp.asarray(rng.normal(size=(K, B, 32, 128)).astype(np.float32))
     labels = jnp.asarray(rng.integers(0, 80, (K, B, 16)).astype(np.int32))
     key = jax.random.key(1)
 
-    def train_once(state_, x_, labels_):
-        batch_ = {
-            "x": x_,
-            "the_labels": labels_,
-            "input_length": jnp.full((B,), T, jnp.int32),
-            "label_length": jnp.full((B,), 16, jnp.int32),
-        }
-        new_state, m = step_fn(state_, batch_, key)
-        # Checksum the UPDATED STATE too, or XLA dead-code-eliminates the
-        # whole optimizer update (and anything only it consumes) from the
-        # timed program — the round-1 "1.53 ms" figure was exactly that
-        # artifact (a value-only ablation whose backward pass was DCE'd).
-        return m, new_state.params, new_state.opt_state
+    def train_bench(name, cfg):
+        state = create_train_state(cfg, jax.random.key(0), batch_size=B)
+        step_fn = make_train_step(cfg, donate=False)
 
-    step = _device_time(train_once, (state,), (xs, labels), K=K)
-    results["configs"]["train_step_b128"] = {
-        "batch": B,
-        "lines_per_sec": round(B / step, 1),
-        "step_ms": round(1e3 * step, 3),
-    }
-    print("train_step_b128", results["configs"]["train_step_b128"],
-          file=sys.stderr)
+        def train_once(state_, x_, labels_):
+            batch_ = {
+                "x": x_,
+                "the_labels": labels_,
+                "input_length": jnp.full((B,), T, jnp.int32),
+                "label_length": jnp.full((B,), 16, jnp.int32),
+            }
+            new_state, m = step_fn(state_, batch_, key)
+            # Checksum the UPDATED STATE too, or XLA dead-code-eliminates
+            # the whole optimizer update (and anything only it consumes)
+            # from the timed program — the round-1 "1.53 ms" figure was
+            # exactly that artifact (a value-only ablation whose backward
+            # pass was DCE'd).
+            return m, new_state.params, new_state.opt_state
+
+        step = _device_time(train_once, (state,), (xs, labels), K=K)
+        results["configs"][name] = {
+            "batch": B,
+            "lines_per_sec": round(B / step, 1),
+            "step_ms": round(1e3 * step, 3),
+        }
+        print(name, results["configs"][name], file=sys.stderr)
+
+    # f32 = the parity default (Keras trains f32); bf16 = the documented
+    # perf mode (same convergence on the synthetic/fonts tasks).
+    train_bench("train_step_b128", base_cfg)
+    train_bench(
+        "train_step_b128_bf16",
+        dataclasses.replace(base_cfg, dtype="bfloat16"),
+    )
 
     out = os.path.join(os.path.dirname(__file__), "results.json")
     if only:  # filtered run: merge into the existing sweep file

@@ -28,8 +28,6 @@ from flax import linen as nn
 
 from crnn_ocr_tpu.models.rnn import BiRNN
 from crnn_ocr_tpu.models.stn import STN
-from crnn_ocr_tpu.ops.conv import conv3x3_same
-from crnn_ocr_tpu.ops.pool import max_pool_fast
 
 
 @dataclasses.dataclass(frozen=True)
@@ -115,29 +113,15 @@ class DepthwiseSeparableBlock(nn.Module):
         )(x)
         x = nn.relu(x)
         if self.pool != (1, 1):
-            x = max_pool_fast(x, self.pool)
+            # nn.max_pool's select-and-scatter backward was profiled against
+            # a strided-slice + dilated-pad custom VJP AND a window-reshape
+            # variant (r2 trace): the pads alone cost ~2.4 ms/step at B=128
+            # (4 unfused full-res writes) vs 0.85 ms for select-and-scatter
+            # across ALL pools. XLA's native lowering won; keep it.
+            x = nn.max_pool(x, self.pool, strides=self.pool)
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         return x
-
-
-class _StemConv(nn.Module):
-    """3x3 SAME conv, checkpoint-compatible with ``nn.Conv(name=...)``
-    (param ``kernel``, no bias), but with the MXU weight-grad of
-    ops/conv.py."""
-
-    features: int
-    dtype: jnp.dtype
-
-    @nn.compact
-    def __call__(self, x):
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (3, 3, x.shape[-1], self.features),
-            jnp.float32,
-        )
-        return conv3x3_same(x.astype(self.dtype), kernel.astype(self.dtype))
 
 
 class CRNN(nn.Module):
@@ -156,15 +140,19 @@ class CRNN(nn.Module):
         if cfg.use_stn:
             x = STN(dtype=dtype, name="stn")(x, train=train)
 
-        # Stem (same param tree as nn.Conv: stem_conv/kernel; the custom op
-        # reroutes only the Cin=1 weight gradient onto the MXU, ops/conv.py)
-        x = _StemConv(cfg.stem_filters, dtype=dtype, name="stem_conv")(x)
+        # Stem. (An im2col-einsum weight-grad rewrite was tried and reverted:
+        # XLA lowered the Cin=1 contraction to the same multiply-reduce plus
+        # a 600 MB tap materialization — no MXU routing, pure overhead.)
+        x = nn.Conv(
+            cfg.stem_filters, (3, 3), padding="SAME", use_bias=False,
+            dtype=dtype, name="stem_conv",
+        )(x)
         x = nn.BatchNorm(
             use_running_average=not train, dtype=dtype, name="stem_bn",
             epsilon=1e-3, momentum=0.99,
         )(x)
         x = nn.relu(x)
-        x = max_pool_fast(x, (2, 2))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
         # Depthwise-separable backbone
         for i, (filters, pool) in enumerate(

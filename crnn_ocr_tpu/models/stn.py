@@ -14,8 +14,6 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from crnn_ocr_tpu.ops.pool import max_pool_fast
-
 from crnn_ocr_tpu.ops.grid_sample import grid_sample_affine
 
 
@@ -35,11 +33,11 @@ class STN(nn.Module):
         B = x.shape[0]
         h = x.astype(self.dtype)
         # Localization network: cheap strided convs, global pooling, MLP.
-        h = max_pool_fast(h, (2, 2))
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
         for filters in self.loc_filters:
             h = nn.Conv(filters, (5, 5), padding="SAME", dtype=self.dtype)(h)
             h = nn.relu(h)
-            h = max_pool_fast(h, (2, 2))
+            h = nn.max_pool(h, (2, 2), strides=(2, 2))
         h = h.reshape(B, -1)
         h = nn.Dense(self.loc_dense, dtype=self.dtype)(h)
         h = nn.relu(h)

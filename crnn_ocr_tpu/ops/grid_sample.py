@@ -120,9 +120,15 @@ def bilinear_sample_banded(
     gather a ``band``-row window per output ROW (16x less gather traffic)
     and do the whole bilinear interpolation as ONE einsum against a combined
     corner-weight matrix over W (MXU work, f32) + a tiny masked reduce over
-    the band. Falls back per-batch to :func:`bilinear_sample` via lax.cond
-    when any output row's vertical span exceeds the band (e.g. rotations
-    beyond ~15 deg at 32 px height).
+    the band.
+
+    When a batch's worst output-row span exceeds the band (e.g. rotations
+    beyond ~15 deg at 32 px height), we step down a LADDER of doubled bands
+    (band, 2*band, ..., H) via nested lax.cond — the last rung covers every
+    possible span, so the slow row-gather path is never taken, and one
+    aggressive warp in a batch only doubles the einsum width instead of
+    sending all images down :func:`bilinear_sample` (which a batch-global
+    fallback used to do).
 
     Identical math to bilinear_sample (weights from unclipped positions,
     border-clamped indices); unit-tested against it and map_coordinates.
@@ -147,46 +153,64 @@ def bilinear_sample_banded(
 
     y_min = jnp.min(y0, axis=2)  # (B, Ho)
     y_max = jnp.max(y1, axis=2)
-    span_ok = jnp.max(y_max - y_min) <= band - 1
+    span = jnp.max(y_max - y_min)
 
-    def banded(_):
-        base = jnp.clip(y_min, 0, max(H - band, 0))  # (B, Ho)
-        ridx = base[:, :, None] + jnp.arange(band)[None, None, :]
-        ridx = jnp.minimum(ridx, H - 1).reshape(B, Ho * band)
-        win = jnp.take_along_axis(
-            img, ridx[:, :, None, None], axis=1
-        ).reshape(B, Ho, band, W, C)
+    def banded(b):
+        def run(_):
+            base = jnp.clip(y_min, 0, max(H - b, 0))  # (B, Ho)
+            ridx = base[:, :, None] + jnp.arange(b)[None, None, :]
+            ridx = jnp.minimum(ridx, H - 1).reshape(B, Ho * b)
+            win = jnp.take_along_axis(
+                img, ridx[:, :, None, None], axis=1
+            ).reshape(B, Ho, b, W, C)
 
-        # combined horizontal corner weights: (B, Ho, Wo, W)
-        iw = jnp.arange(W)[None, None, None, :]
-        mxc = wx0[..., None] * (iw == x0[..., None]) + wx1[..., None] * (
-            iw == x1[..., None]
+            # combined horizontal corner weights: (B, Ho, Wo, W)
+            iw = jnp.arange(W)[None, None, None, :]
+            mxc = wx0[..., None] * (iw == x0[..., None]) + wx1[
+                ..., None
+            ] * (iw == x1[..., None])
+            # x-interpolated values at every band row: (B, Ho, b, Wo, C)
+            s = jnp.einsum(
+                "birwc,bijw->birjc",
+                win.astype(jnp.float32),
+                mxc,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            # combined vertical corner weights over the band: (B,Ho,Wo,b)
+            r0 = (y0 - base[:, :, None])[..., None]  # (B, Ho, Wo, 1)
+            r1 = (y1 - base[:, :, None])[..., None]
+            ir = jnp.arange(b)[None, None, None, :]
+            myc = wy0[..., None] * (ir == r0) + wy1[..., None] * (ir == r1)
+            # out[b,i,j,c] = sum_r myc[b,i,j,r] * s[b,i,r,j,c]
+            out = jnp.einsum(
+                "bijr,birjc->bijc",
+                myc,
+                s,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return out.astype(img.dtype)
+
+        return run
+
+    # Band ladder: band, 2*band, 4*band, ..., capped at H (which admits any
+    # span: base clips to 0 and the window is the whole image).
+    bands = []
+    b = band
+    while b < H:
+        bands.append(b)
+        b *= 2
+    bands.append(H)
+
+    def level(i):
+        if i == len(bands) - 1:
+            return banded(bands[i])
+        # nested cond thunks: only the selected rung executes (a closure
+        # capturing a precomputed value would evaluate every rung eagerly)
+        return lambda _: jax.lax.cond(
+            span <= bands[i] - 1, banded(bands[i]), level(i + 1), None
         )
-        # x-interpolated values at every band row: (B, Ho, band, Wo, C)
-        s = jnp.einsum(
-            "birwc,bijw->birjc",
-            win.astype(jnp.float32),
-            mxc,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        # combined vertical corner weights over the band: (B, Ho, Wo, band)
-        r0 = (y0 - base[:, :, None])[..., None]  # (B, Ho, Wo, 1)
-        r1 = (y1 - base[:, :, None])[..., None]
-        ir = jnp.arange(band)[None, None, None, :]
-        myc = wy0[..., None] * (ir == r0) + wy1[..., None] * (ir == r1)
-        # out[b,i,j,c] = sum_r myc[b,i,j,r] * s[b,i,r,j,c]
-        out = jnp.einsum(
-            "bijr,birjc->bijc",
-            myc,
-            s,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return out.astype(img.dtype)
 
-    def general(_):
-        return bilinear_sample(img, coords).astype(img.dtype)
-
-    return jax.lax.cond(span_ok, banded, general, None)
+    return level(0)(None)
 
 
 def grid_sample_affine(

@@ -171,3 +171,33 @@ def test_banded_sampler_matches_general():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=2e-5, err_msg=label
         )
+
+
+def test_banded_sampler_ladder_mixed_batch():
+    """One aggressive warp in a batch of near-identities must step the band
+    LADDER (8 -> 16 -> 32), not a batch-global slow path — and every rung
+    must agree with the general sampler exactly."""
+    import jax.numpy as jnp
+
+    from crnn_ocr_tpu.ops.grid_sample import (
+        affine_grid,
+        bilinear_sample,
+        bilinear_sample_banded,
+    )
+
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.normal(size=(4, 32, 64, 1)).astype(np.float32))
+    ident = np.tile(
+        np.asarray([1.0, 0, 0, 0, 1.0, 0], np.float32), (4, 1)
+    )
+    # sample 0: strong rotation (~30 deg) — span > 16 rows; rest identity
+    c, s = np.cos(0.5), np.sin(0.5)
+    ident[0] = [c, -s, 0.1, s, c, -0.1]
+    coords = affine_grid(jnp.asarray(ident), 32, 64)
+    want = bilinear_sample(img, coords)
+    for band in (4, 8, 16):  # every starting rung reaches a covering band
+        got = bilinear_sample_banded(img, coords, band=band)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5,
+            err_msg=f"band={band}",
+        )
