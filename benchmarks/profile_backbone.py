@@ -172,9 +172,14 @@ def main() -> int:
     eff = results["flops"]["conv"] / (p["conv"] / 1e3) / 1e12
     results["conv_fraction_of_model"] = round(conv_frac, 3)
     results["conv_eff_tflops"] = round(eff, 1)
+    # The FLOPs-roofline heuristic here once said "ship pallas conv"; the
+    # per-op trace (trace_serve.py) showed the stages are BANDWIDTH-bound
+    # with BN+relu+pool already fused by XLA into one reduce-window op,
+    # and a fused Pallas backbone measured 2-5x SLOWER (layout padding).
+    # See DESIGN.md "SURVEY C14 decision". Effective-TFLOPs is the wrong
+    # lens for a memory-bound stage; keep the numbers, drop the verdict.
     results["verdict"] = (
-        "ship pallas conv" if conv_frac > 0.35 and eff < 40.0
-        else "xla conv sufficient"
+        "xla conv at parity (trace evidence: DESIGN.md C14 decision)"
     )
     out = os.path.join(os.path.dirname(__file__), "profile_backbone.json")
     with open(out, "w") as f:

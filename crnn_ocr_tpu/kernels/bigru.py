@@ -259,7 +259,9 @@ def _bwd(interpret, residuals, g):
         "tdbh,tdbg->dhg", h_prev_seq, drec_seq,
         preferred_element_type=jnp.float32,
     ).astype(u.dtype)
-    db = jnp.sum(drec_seq, axis=(0, 2)).astype(u.dtype)
+    # rec_bias reaches the primal as f32 regardless of compute dtype
+    # (models/rnn.py casts it explicitly), so its cotangent stays f32
+    db = jnp.sum(drec_seq, axis=(0, 2))
     return dxw.astype(hs.dtype), du, db
 
 

@@ -26,13 +26,17 @@ but it decomposes exactly into vectorized passes:
      Consequently every (branch, label) pair whose child prefix is a
      carried stay is simply EXCLUDED from the candidate pool.
 
-  3. **Branch gating is a well-founded fixpoint.** Branch i spawns
-     children only if its previous total beats the bottom *at sweep i*
-     (or the beam is underfull), and only if it wasn't gate-zeroed by an
-     earlier sweep (point 2). Both depend only on sweeps < i, so a
-     Jacobi iteration over the W gates converges to the unique sequential
-     answer in <= W rounds (typically 1 compute + 1 confirm: gating
-     engages only on near-tie posteriors).
+  3. **Branch gating resolves in one left-to-right pass.** Branch i
+     spawns children only if its previous total beats the bottom *at
+     sweep i* (or the beam is underfull), and only if it wasn't
+     gate-zeroed by an earlier sweep (point 2). Both depend only on
+     sweeps < i (well-founded), so a W-step fori_loop carrying an
+     incrementally-updated inclusion-count curve over the sorted pool
+     computes the exact sequential gates directly — one cheap (B, N)
+     scan per sweep. (A Jacobi fixpoint over the gates was the first
+     formulation; it converged, but on peaked deployment posteriors it
+     ran its full W+2 iteration budget nearly every frame — 19x slower
+     per frame, measured on v5e.)
 
 Everything else is bookkeeping: prefix identities are rolling hashes
 (collision odds ~W^2 * 2^-32 per step), and prefixes are reconstructed
@@ -183,103 +187,219 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
         axis=1,
     )  # (B, W): branch j's stay survived
     ok_a = jnp.all(~bsel | (total > bottom_final[:, None]), axis=1)
-    safe_zero = stay_in_top | ~parent_found | (parent_idx >= iW[None, :])
+    kappa = parent_idx * C + jnp.maximum(last_label, 0)  # parent regen key
+    # The only zeroing hazard for branch j: its stay evicted BEFORE the
+    # parent's regeneration attempt at key kappa_j. Bound the eviction
+    # directly (no sort, no fixpoint): count pool entries with priority
+    # above stay_j among {all stays} u {candidates with key < kappa_j},
+    # under ALL-OPEN inclusion (a superset of the true sequential
+    # inclusion, so the count is an upper bound; < W => provably never
+    # evicted => zeroing impossible => fast path safe for j). Priority =
+    # sorted-descending stable order: value desc; ties -> stays (by stay
+    # sort position) before candidates. A stricter-than-needed stay_in_top
+    # test alone rejected ~3% of samples per frame on PEAKED (deployment)
+    # posteriors — and the batch-global fast_ok then sank every sample
+    # into the sequential fixpoint (28x slower end-to-end, measured).
+    sv_j = stay_total[:, :, None]  # (B, j, 1)
+    sv_k = stay_total[:, None, :]  # (B, 1, k)
+    prior_stays = jnp.sum(
+        (sv_k > sv_j)
+        | ((sv_k == sv_j) & (inv_perm[:, None, :] < inv_perm[:, :, None])),
+        axis=2,
+    )  # (B, W)
+    # Refinement that makes the bound tight on PEAKED (deployment)
+    # posteriors: branch 0 has no parent (cannot be zeroed) and is open
+    # whenever the beam is underfull or its total beats the worst stay —
+    # both checkable directly. When it is provably open, the W-th best of
+    # {stays} u {branch-0 candidates} LOWER-bounds the bottom from sweep 1
+    # on (streaming top-W of everything seen; bottom is monotone), so any
+    # branch whose total cannot beat that is PROVABLY closed and its
+    # candidates never insert — excluded from the eviction count. Without
+    # this, phantom candidates of gate-closed weak branches inflate the
+    # all-open bound past W and reject ~2-3% of samples per frame.
+    n_finite_stays = jnp.sum(s_total > NEG / 2, axis=1)  # (B,)
+    bottom_start = s_total[:, W - 1]
+    b0_open = eligible[:, 0] & (
+        (n_finite_stays < W) | (total[:, 0] > bottom_start)
+    )  # (B,)
+    union0 = jnp.concatenate([s_total, cand[:, 0, :]], axis=1)
+    bottom_lb = jax.lax.top_k(union0, W)[0][:, W - 1]  # (B,)
+    provably_closed = (
+        b0_open[:, None]
+        & (iW[None, :] >= 1)
+        & (total <= bottom_lb[:, None])
+    )  # (B, W): candidates of these branches never insert
+    cand_flat = cand.reshape(B, 1, W * C)
+    keys = jnp.arange(W * C, dtype=jnp.int32)[None, None, :]
+    notclosed_flat = jnp.repeat(~provably_closed, C, axis=1)[:, None, :]
+    prior_cands = jnp.sum(
+        (cand_flat > sv_j) & (keys < kappa[:, :, None]) & notclosed_flat,
+        axis=2,
+    )  # (B, W)
+    never_evicted = (prior_stays + prior_cands) < W
+    safe_zero = (
+        stay_in_top
+        | ~parent_found
+        | (parent_idx >= iW[None, :])
+        | never_evicted
+    )
     ok_b = jnp.all(~bsel | safe_zero, axis=1)
     ok_c = (topv1[:, W - 1] > topv1[:, W]) | (topv1[:, W] <= NEG / 2)
     fast_ok = jnp.all(ok_a & ok_b & ok_c)
+    risky = bsel & ~stay_in_top & parent_found & (parent_idx < iW[None, :])
+    diag = jnp.stack(
+        [jnp.mean(ok_a), jnp.mean(ok_b), jnp.mean(ok_c),
+         jnp.sum(risky).astype(jnp.float32),
+         jnp.sum(risky & never_evicted).astype(jnp.float32),
+         jnp.sum(risky & ~never_evicted).astype(jnp.float32)]
+    ).astype(jnp.float32)
 
     def fast_path(_):
         return topv1[:, :W], topi1[:, :W]
 
-    # -------- Slow path: exact sequential gating (fixpoint) --------
+    # -------- Slow path: exact sequential gating, ONE left-to-right pass
+    # over the W sweeps. Gate/zeroing state for sweep j depends only on
+    # sweeps < j (well-founded), so a fori_loop carrying an incrementally
+    # updated inclusion-count curve computes the EXACT sequential answer —
+    # no Jacobi fixpoint (the previous formulation iterated (B,W,N)
+    # cumsums up to W+2 times; on peaked deployment posteriors it ran the
+    # full budget nearly every frame, ~19x slower per frame, measured).
     # (A pool shrink to stays + top-K candidates was tried and REVERTED:
     # candidates <= the worst stay are provably irrelevant, but any static
-    # cap on the rest can undercount m4's eviction priors — a dropped
+    # cap on the rest can undercount the eviction priors — a dropped
     # entry's in-branch beaters need not precede kappa_j — flipping the
     # zeroing cascade on adversarial near-ties. Exactness wins.)
     def slow_path(_):
-        pool_idx_sorted = jnp.argsort(-pool, axis=1, stable=True)  # (B, N)
-        vals_sorted = jnp.take_along_axis(pool, pool_idx_sorted, axis=1)
+        # Multi-operand sort: values and original indices in ONE lax.sort
+        # (argsort + take_along_axis lowered to a 3.9 ms custom gather per
+        # decode on v5e; the co-sorted operand is free).
+        neg_sorted, pool_idx_sorted = jax.lax.sort(
+            (-pool,
+             jnp.broadcast_to(
+                 jnp.arange(N, dtype=jnp.int32)[None, :], (B, N)
+             )),
+            dimension=1, num_keys=1, is_stable=True,
+        )
+        vals_sorted = -neg_sorted
         finite_sorted = vals_sorted > NEG / 2
         is_cand_sorted = pool_idx_sorted >= W
         origin_sorted = jnp.where(
             is_cand_sorted, (pool_idx_sorted - W) // C, W
-        )  # branch rank; stays -> W (sentinel slot in open_ext)
+        )  # branch rank; stays -> sentinel W
         key_sorted = jnp.where(
             is_cand_sorted, pool_idx_sorted - W, -1
         )  # candidate order key i*C + l; stays -> -1 (before everything)
-        # sorted position of each stay's pool entry (pool idx = inv_perm[j])
-        rank_of_pool = jnp.zeros((B, N), jnp.int32).at[
-            jnp.arange(B)[:, None], pool_idx_sorted
-        ].set(jnp.arange(N, dtype=jnp.int32)[None, :])
-        pos_stay_j = jnp.take_along_axis(rank_of_pool, inv_perm, axis=1)
+        # sorted position of each stay's entry, by direct counting (the
+        # scatter-based rank table was a 2.4 ms custom kernel per decode):
+        # entries sorted before stay j = greater value, or equal value at
+        # a smaller pool index (stable sort tie order).
+        pos_stay_j = jnp.sum(
+            (
+                (vals_sorted[:, None, :] > stay_total[:, :, None])
+                | (
+                    (vals_sorted[:, None, :] == stay_total[:, :, None])
+                    & (pool_idx_sorted[:, None, :] < inv_perm[:, :, None])
+                )
+            ).astype(jnp.int32),
+            axis=2,
+        )  # (B, W)
 
-        kappa = parent_idx * C + jnp.maximum(last_label, 0)  # regen key
+        # kappa defined in the fast-path section (parent regen key).
 
-        def fix_body(carry):
-            open_, zeroed, _, it = carry
-            open_ext = jnp.concatenate(
-                [open_, jnp.ones((B, 1), bool)], axis=1
-            )  # stays always included
-            inc = finite_sorted & jnp.take_along_axis(
-                open_ext, origin_sorted, axis=1
-            )  # (B, N)
+        # Precomputed count structures over the sorted pool. All running
+        # counts are TRIANGULAR-MATRIX MXU MATMULS in f32 under
+        # Precision.HIGHEST (exact for counts <= N < 2^23): XLA lowers a
+        # long-axis jnp.cumsum as a padded reduce-window that measured
+        # 11.7 of the 14.3 ms slow branch on v5e — the matmuls are ~free.
+        hi = jax.lax.Precision.HIGHEST
+        tri = jnp.tril(jnp.ones((N, N), jnp.float32))  # tri[p,n]=1, n<=p
+        stays_mask = (
+            (~is_cand_sorted) & finite_sorted
+        ).astype(jnp.float32)  # (B, N)
+        stays_inc = jnp.einsum(
+            "bn,pn->bp", stays_mask, tri, precision=hi
+        )  # (B, N) inclusive stays count curve
+        origin_onehot = (
+            (origin_sorted[:, :, None] == iW[None, None, :])
+            & finite_sorted[:, :, None]
+        ).astype(jnp.float32)  # (B, N, W)
+        cand_inc = jnp.einsum(
+            "bnw,pn->wbp", origin_onehot, tri, precision=hi
+        )  # (W, B, N): entries from origin i among sorted[0..pos]
+        # (origin on the LEADING axis: the sweep loop dynamic-slices it,
+        # and lane-axis dynamic slices relayout on TPU)
+        # counts strictly ABOVE each stay's sorted position, as masked
+        # matmuls (no gathers into the big curves):
+        pos_rank = jnp.arange(N, dtype=jnp.int32)[None, None, :]
+        above_mask = (
+            pos_rank < pos_stay_j[:, :, None]
+        ).astype(jnp.float32)  # (B, Wj, N)
+        above = jnp.einsum(
+            "bnw,bjn->bjw", origin_onehot, above_mask, precision=hi
+        )  # (B, Wj, Wi): origin-i candidates above stay j
+        stays_above = jnp.einsum(
+            "bn,bjn->bj", stays_mask, above_mask, precision=hi
+        )  # (B, Wj)
+        # partial origin-pj count above stay j limited to labels < label_j
+        pj = jnp.where(parent_found, parent_idx, W)  # (B, W)
+        partial_pj = jnp.sum(
+            (
+                (origin_sorted[:, None, :] == pj[:, :, None])
+                & finite_sorted[:, None, :]
+                & (key_sorted[:, None, :] < kappa[:, :, None])
+            ).astype(jnp.float32)
+            * above_mask,
+            axis=2,
+        )  # (B, Wj)
 
-            # bottom before sweep i: W-th best of {stays, open cands < i}
-            thresh = (iW * C)[None, :, None]  # (1, W, 1)
-            m3 = inc[:, None, :] & (key_sorted[:, None, :] < thresh)
-            cums = jnp.cumsum(m3.astype(jnp.int32), axis=2)
-            count = cums[:, :, -1]  # (B, W)
-            hit = jnp.argmax(cums >= W, axis=2)  # first pos reaching W
-            bottom = jnp.take_along_axis(
-                vals_sorted[:, None, :].repeat(W, 1), hit[:, :, None],
+        def sweep(j, carry):
+            open_, zeroed, S = carry  # S: (B, N) inclusion count curve
+            # zeroing of branch j: its stay evicted before the parent's
+            # regeneration attempt (parent decided in an earlier sweep)
+            open_f = open_.astype(jnp.float32)
+            full_sum = jnp.sum(
+                jnp.where(iW[None, None, :] < pj[:, :, None],
+                          open_f[:, None, :] * above, 0.0),
                 axis=2,
-            )[:, :, 0]
-            bottom = jnp.where(count >= W, bottom, NEG)
-            open_new = (
-                eligible
-                & ~zeroed
-                & ((count < W) | (total > bottom))
-            )
-
-            # gate-zeroing: stay j evicted before its parent's regen
-            # attempt at key kappa_j, parent rank < j, parent gate open.
-            m4 = inc[:, None, :] & (
-                key_sorted[:, None, :] < kappa[:, :, None]
-            )  # (B, j, N)
-            cum4 = jnp.cumsum(m4.astype(jnp.int32), axis=2)
-            prior = jnp.where(
-                pos_stay_j > 0,
-                jnp.take_along_axis(
-                    cum4, jnp.maximum(pos_stay_j - 1, 0)[:, :, None],
-                    axis=2,
-                )[:, :, 0],
-                0,
-            )  # higher-priority entries with key < kappa_j
-            evicted_before = prior >= W
+            )  # (B, Wj): opened origins strictly before parent
             par_open = jnp.take_along_axis(
                 jnp.concatenate([open_, jnp.zeros((B, 1), bool)], axis=1),
-                jnp.where(parent_found, parent_idx, W),
-                axis=1,
+                pj, axis=1,
             )
-            zeroed_new = (
-                alive
-                & parent_found
-                & (parent_idx < iW[None, :])
-                & par_open
-                & evicted_before
+            prior_j = (
+                stays_above[:, j]
+                + full_sum[:, j]
+                + par_open[:, j].astype(jnp.float32) * partial_pj[:, j]
             )
-            changed = jnp.any(open_new != open_) | jnp.any(
-                zeroed_new != zeroed
+            zeroed_j = (
+                alive[:, j]
+                & parent_found[:, j]
+                & (parent_idx[:, j] < j)
+                & par_open[:, j]
+                & (prior_j >= W)
             )
-            return open_new, zeroed_new, changed, it + 1
+            # bottom before sweep j from the current inclusion curve
+            count_total = S[:, -1]
+            hit = jnp.argmax(S >= W, axis=1)
+            bottom = jnp.take_along_axis(
+                vals_sorted, hit[:, None], axis=1
+            )[:, 0]
+            open_j = (
+                eligible[:, j]
+                & ~zeroed_j
+                & ((count_total < W) | (total[:, j] > bottom))
+            )
+            open_ = open_.at[:, j].set(open_j)
+            zeroed = zeroed.at[:, j].set(zeroed_j)
+            S = S + jnp.where(open_j[:, None], cand_inc[j], 0.0)
+            return open_, zeroed, S
 
-        def fix_cond(carry):
-            _, _, changed, it = carry
-            return changed & (it < W + 2)
-
-        init = (eligible, jnp.zeros((B, W), bool), jnp.array(True), 0)
-        open_, zeroed, _, _ = jax.lax.while_loop(fix_cond, fix_body, init)
+        init = (
+            jnp.zeros((B, W), bool),
+            jnp.zeros((B, W), bool),
+            stays_inc,
+        )
+        open_, zeroed, _ = jax.lax.fori_loop(0, W, sweep, init)
 
         open_bc = jnp.repeat(open_, C, axis=1)  # (B, W*C) candidate gate
         pool_masked = jnp.concatenate(
@@ -323,7 +443,7 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
     return (
         (n_total, n_p_b, n_p_nb, n_hash, n_parent_hash, n_last_label,
          n_length, n_alive),
-        (bp_src, bp_label),
+        (bp_src, bp_label, diag),
     )
 
 
@@ -376,7 +496,7 @@ def ctc_beam_search_decode_tf(
 
     def step(state, inp):
         lp, t = inp
-        new_state, (bp_src, bp_label) = _beam_step(
+        new_state, (bp_src, bp_label, diag) = _beam_step(
             state, lp, W=W, C=C, force_fast=_force_fast
         )
         frozen = (t >= input_length)[:, None]  # (B, 1)
@@ -387,12 +507,12 @@ def ctc_beam_search_decode_tf(
         bp_src = jnp.where(frozen, jnp.arange(W, dtype=jnp.int32)[None, :],
                            bp_src)
         bp_label = jnp.where(frozen, -1, bp_label)
-        return out_state, (bp_src, bp_label)
+        return out_state, (bp_src, bp_label, diag)
 
     state0 = (total0, p_b0, p_nb0, hash0, parent_hash0, last_label0,
               length0, alive0)
     ts = jnp.arange(T, dtype=jnp.int32)
-    (total, _, _, _, _, _, _, alive), (bps, bpl) = jax.lax.scan(
+    (total, _, _, _, _, _, _, alive), (bps, bpl, _diag) = jax.lax.scan(
         step, state0, (jnp.transpose(lp_all, (1, 0, 2)), ts)
     )
 

@@ -238,3 +238,33 @@ class TestCtcPallas:
             rtol=1e-4,
             atol=1e-5,
         )
+
+
+def test_bigru_bf16_gradients_dtypes_and_values():
+    """bf16 compute path: cotangent dtypes must match the primal inputs
+    (xw/u bf16, rec_bias f32 — models/rnn.py casts the bias explicitly),
+    and values must still track the scan reference."""
+    rng = np.random.default_rng(9)
+    xw, u, b = _rand_inputs(rng, T=3, B=8, H=128)
+    xw16, u16 = xw.astype(jnp.bfloat16), u.astype(jnp.bfloat16)
+
+    g1 = jax.grad(
+        lambda xw, u, b: jnp.sum(
+            jnp.tanh(bigru_fused(xw, u, b, True).astype(jnp.float32))
+        ),
+        argnums=(0, 1, 2),
+    )(xw16, u16, b)
+    g2 = jax.grad(
+        lambda xw, u, b: jnp.sum(
+            jnp.tanh(_bigru_scan_ref(xw, u, b).astype(jnp.float32))
+        ),
+        argnums=(0, 1, 2),
+    )(xw16, u16, b)
+    assert g1[0].dtype == jnp.bfloat16
+    assert g1[1].dtype == jnp.bfloat16
+    assert g1[2].dtype == jnp.float32
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(c, np.float32),
+            rtol=0.1, atol=0.05,
+        )
