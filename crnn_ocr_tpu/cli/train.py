@@ -180,11 +180,17 @@ def main(argv=None) -> int:
         ),
         n_shards=n_dev,
     )
+    mesh = None
+    if n_dev > 1:
+        from crnn_ocr_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_dev)
+        print(f"data-parallel mesh: {mesh}", file=sys.stderr)
     state = create_train_state(
         cfg, jax.random.key(args.seed), optimizer=args.opt,
         learning_rate=args.lr, batch_size=args.batch_size,
         schedule=args.lr_schedule, total_steps=args.steps,
-        warmup_steps=args.warmup_steps,
+        warmup_steps=args.warmup_steps, mesh=mesh,
     )
     if args.resume:
         from crnn_ocr_tpu.train import CheckpointManager
@@ -215,13 +221,6 @@ def main(argv=None) -> int:
         f"devices: {jax.devices()}  params: {param_count(state)/1e6:.2f}M",
         file=sys.stderr,
     )
-    mesh = None
-    if n_dev > 1:
-        from crnn_ocr_tpu.parallel import make_mesh
-
-        mesh = make_mesh(n_dev)
-        print(f"data-parallel mesh: {mesh}", file=sys.stderr)
-
     fitcfg = FitConfig(
         steps=args.steps,
         eval_every=args.eval_every,

@@ -128,6 +128,11 @@ class CRNN(nn.Module):
     """The flagship model: images (B, H, W, 1) -> logits (B, T, C+1)."""
 
     cfg: ModelConfig
+    # GSPMD mesh when training data-parallel: lets the Pallas RNN cells run
+    # per shard via shard_map instead of falling back to the XLA scan.
+    mesh: object = None
+    # Run Pallas kernels in interpreter mode (CPU-mesh tests only).
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -177,7 +182,9 @@ class CRNN(nn.Module):
         for i in range(cfg.rnn_layers):
             x = BiRNN(
                 units=cfg.n_units, cell=cfg.rnn_cell, dtype=dtype,
-                use_pallas=cfg.use_pallas_rnn, name=f"birnn{i}",
+                use_pallas=cfg.use_pallas_rnn, mesh=self.mesh,
+                pallas_interpret=self.pallas_interpret,
+                name=f"birnn{i}",
             )(x)
             x = nn.BatchNorm(
                 use_running_average=not train, dtype=dtype, name=f"rnn_bn{i}",
@@ -190,17 +197,18 @@ class CRNN(nn.Module):
         return logits.astype(jnp.float32)
 
 
-def build_model(cfg: ModelConfig) -> CRNN:
-    return CRNN(cfg=cfg)
+def build_model(cfg: ModelConfig, mesh=None) -> CRNN:
+    return CRNN(cfg=cfg, mesh=mesh)
 
 
 def resolve_runtime_flags(cfg: ModelConfig, n_shards: int = 1) -> ModelConfig:
     """Pin auto (None) runtime knobs to concrete values for this process.
 
-    ``use_pallas_rnn=None`` -> True on TPU backends when running mesh-free
-    (``n_shards <= 1``); the bare Pallas custom call has no GSPMD
-    partitioning rule yet, so multi-device meshes keep the XLA scan path.
-    A once-per-process note is printed so runs record which path compiled.
+    ``use_pallas_rnn=None`` -> True on TPU backends. Multi-device meshes
+    run the fused cells per shard via shard_map (the model must be built
+    with the mesh — ``build_model(cfg, mesh=...)``); per-shard batches
+    that miss the kernel's shape gate fall back to the XLA scan inside
+    BiRNN either way. A once-per-process note records which path compiled.
     """
     import dataclasses as _dc
     import sys as _sys
@@ -208,11 +216,12 @@ def resolve_runtime_flags(cfg: ModelConfig, n_shards: int = 1) -> ModelConfig:
     from crnn_ocr_tpu.models.rnn import pallas_rnn_default
 
     if cfg.use_pallas_rnn is None:
-        on = pallas_rnn_default() and n_shards <= 1
+        on = pallas_rnn_default()
         print(
             f"[crnn_ocr_tpu] rnn path: {'pallas fused cell' if on else 'xla scan'}"
             f" (backend={__import__('jax').default_backend()},"
-            f" shards={n_shards})",
+            f" shards={n_shards}"
+            f"{', via shard_map' if on and n_shards > 1 else ''})",
             file=_sys.stderr,
         )
         return _dc.replace(cfg, use_pallas_rnn=on)

@@ -52,6 +52,11 @@ class BiRNN(nn.Module):
     # to lax.scan otherwise.
     use_pallas: Optional[bool] = None
     pallas_interpret: bool = False
+    # GSPMD mesh the enclosing jit shards the batch over. A bare Pallas
+    # custom call has no SPMD partitioning rule, so with a multi-device
+    # mesh the fused cell runs per shard via jax.shard_map (batch is the
+    # only sharded axis; weights replicate).
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -121,21 +126,41 @@ class BiRNN(nn.Module):
                 bilstm_fused,
             )
 
-            if bigru_supported(B, H):
+            n_shards = self.mesh.size if self.mesh is not None else 1
+            B_loc = B // n_shards if B % n_shards == 0 else 0
+            if B_loc and bigru_supported(B_loc, H):
                 xw_t = jnp.transpose(xw, (1, 0, 2, 3)).astype(self.dtype)
+                interp = self.pallas_interpret
                 if self.cell == "gru":
-                    hs = bigru_fused(
+                    call = lambda xw_, u_, b_: bigru_fused(  # noqa: E731
+                        xw_, u_, b_, interp
+                    )
+                    args = (
                         xw_t,
                         recurrent_kernel.astype(self.dtype),
                         rec_bias.astype(jnp.float32),
-                        self.pallas_interpret,
-                    )  # (T, 2, B, H)
+                    )
                 else:
-                    hs = bilstm_fused(
-                        xw_t,
-                        recurrent_kernel.astype(self.dtype),
-                        self.pallas_interpret,
-                    )  # (T, 2, B, H)
+                    call = lambda xw_, u_: bilstm_fused(  # noqa: E731
+                        xw_, u_, interp
+                    )
+                    args = (xw_t, recurrent_kernel.astype(self.dtype))
+                if n_shards > 1:
+                    from jax.sharding import PartitionSpec as P
+
+                    axis = self.mesh.axis_names[0]
+                    bspec = P(None, None, axis, None)
+                    rep = P(*(None,) * (len(args[1].shape)))
+                    in_specs = (bspec, rep) + (
+                        (P(None, None),) if self.cell == "gru" else ()
+                    )
+                    # check_vma=False: pallas_call out_shapes carry no
+                    # varying-mesh-axes metadata (same as the CTC kernel)
+                    call = jax.shard_map(
+                        call, mesh=self.mesh, in_specs=in_specs,
+                        out_specs=bspec, check_vma=False,
+                    )
+                hs = call(*args)  # (T, 2, B, H)
                 fwd = hs[:, 0]
                 bwd = hs[::-1, 1]
                 out = jnp.concatenate([fwd, bwd], axis=-1)

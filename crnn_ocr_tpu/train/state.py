@@ -105,8 +105,10 @@ def create_train_state(
     schedule: str = "constant",
     total_steps: int = 10_000,
     warmup_steps: int = 0,
+    mesh=None,
+    pallas_interpret: bool = False,
 ) -> TrainState:
-    model = CRNN(cfg=cfg)
+    model = CRNN(cfg=cfg, mesh=mesh, pallas_interpret=pallas_interpret)
     x = jnp.zeros((batch_size, cfg.height, cfg.width, 1), jnp.float32)
     p_rng, d_rng = jax.random.split(rng)
     variables = model.init(

@@ -242,3 +242,101 @@ def test_sharded_train_step_pallas_ctc_matches_scan():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
         )
+
+
+def test_pallas_birnn_shard_map_matches_scan():
+    """BiRNN with a multi-device mesh runs the fused Pallas cell per shard
+    via shard_map (interpret mode on the CPU mesh) — values AND gradients
+    must match the XLA-scan path at equal params."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from crnn_ocr_tpu.models.rnn import BiRNN
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(3)
+    # per-shard batch 8 (>= sublane tile), H=128 (lane-aligned)
+    x = jnp.asarray(rng.normal(size=(64, 5, 32)).astype(np.float32))
+
+    ref = BiRNN(units=128, use_pallas=False)
+    variables = ref.init(jax.random.key(0), x)
+
+    for cell in ("gru", "lstm"):
+        ref = BiRNN(units=128, cell=cell, use_pallas=False)
+        variables = ref.init(jax.random.key(0), x)
+
+        def loss_ref(v, x_):
+            return jnp.sum(jnp.tanh(ref.apply(v, x_)))
+
+        fused = BiRNN(units=128, cell=cell, use_pallas=True,
+                      pallas_interpret=True, mesh=mesh)
+
+        def loss_fused(v, x_):
+            return jnp.sum(jnp.tanh(fused.apply(v, x_)))
+
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        want, gw = jax.value_and_grad(loss_ref)(variables, x)
+        got, gg = jax.value_and_grad(loss_fused)(variables, xs)
+        np.testing.assert_allclose(
+            float(got), float(want), rtol=2e-5, err_msg=cell
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gg), jax.tree_util.tree_leaves(gw)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+                err_msg=cell,
+            )
+
+
+def test_dp_train_step_with_pallas_rnn_matches_scan():
+    """Full sharded train step with use_pallas_rnn=True (interpret) ==
+    the same step on the scan path — the production multi-chip config."""
+    import dataclasses
+
+    from crnn_ocr_tpu.models.rnn import BiRNN  # noqa: F401
+
+    mesh = make_mesh(8)
+    synth = SyntheticTextlines(
+        SyntheticConfig(alphabet="0123456789", min_len=2, max_len=5)
+    )
+    cfg = ModelConfig(
+        num_classes=synth.codec.num_classes,
+        width=64,
+        stem_filters=8,
+        block_filters=(16, 16, 24, 24),
+        time_dense_size=16,
+        n_units=128,   # lane-aligned so the fused cell engages
+        rnn_layers=1,
+        dropout_rate=0.0,
+    )
+    host = synthetic_batches(batch_size=64, bucket=64, steps=1, synth=synth)
+    batch = next(device_batches(host, prefetch=0))
+    batch.pop("texts")
+    batch.pop("bucket")
+    batch = {k: np.asarray(v) for k, v in batch.items()}
+    rng = jax.random.key(5)
+
+    def run(use_pallas):
+        c = dataclasses.replace(cfg, use_pallas_rnn=use_pallas)
+        state = create_train_state(
+            c, jax.random.key(0), mesh=mesh if use_pallas else None,
+            pallas_interpret=True,
+        )
+        state = replicate_state(state, mesh)
+        step = make_train_step(
+            c, donate=False, mesh=mesh, use_pallas_ctc=False,
+            pallas_interpret=True,
+        )
+        new_state, m = step(state, shard_batch(batch, mesh), rng)
+        return float(m["loss"]), new_state.params
+
+    loss_p, params_p = run(True)
+    loss_s, params_s = run(False)
+    np.testing.assert_allclose(loss_p, loss_s, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_p),
+        jax.tree_util.tree_leaves(params_s),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
