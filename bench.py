@@ -129,7 +129,8 @@ def main() -> int:
     # min-of-trials (tunnel adds only positive noise)
     step_s = (float(np.min(totals)) - rtt_s) / K
     lines_per_sec = B / step_s
-    p50_latency_s = step_s  # device batch latency (p50 over reps)
+    # p50 = median over trials (RTT-free device batch latency)
+    p50_latency_s = (float(np.median(totals)) - rtt_s) / K
 
     vs_baseline = 0.0
     anchor_path = os.path.join(

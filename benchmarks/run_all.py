@@ -240,14 +240,16 @@ def main() -> int:
         # the admissible vectorized search (prefix-buffer formulation)
         serving_bench("beam10_legacy_b32_w128", 32, 128, beam=10,
                       use_pallas=True, K=64, beam_exact=False)
-    if want("beamBig") and only is not None:
+    if only == "beamBig":  # fragile: exact tag only (else a BENCH_ONLY=beam
+        # filter pulls it in-process after other compiles -> known
+        # InvalidArgument poisoning, and the crash loses the whole write)
         # batch-amortized beam serving (per-step decoder overhead is batch-
         # independent; production batches are closer to 256 than 32).
         # Unfiltered sweeps run this in a child process BEFORE the parent
         # takes the TPU grant (see top of main).
         serving_bench_safe("beam10_b256_w128", 256, 128, beam=10,
                            use_pallas=True, K=16)
-    if want("beamSharp") and only is not None:
+    if only == "beamSharp":  # fragile: exact tag only (see beamBig)
         # Decoder-only on TRAINED-model-like posteriors (one ~97% class per
         # frame). The serving_bench beam configs feed the decoder an
         # UNTRAINED model's near-uniform outputs — the worst case for the

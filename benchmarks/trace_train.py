@@ -61,7 +61,7 @@ def capture(logdir: str) -> None:
         np.asarray(out)
 
 
-def summarize(logdir: str, top: int = 25) -> dict:
+def summarize(logdir: str, top: int = 25, steps: int = 5) -> dict:
     """Aggregate per-op self-times from the xplane proto (TPU device line)."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
 
@@ -93,7 +93,6 @@ def summarize(logdir: str, top: int = 25) -> dict:
                 ops[name] = ops.get(name, 0) + ev.duration_ps
                 total_ns += ev.duration_ps
     table = sorted(ops.items(), key=lambda kv: -kv[1])[:top]
-    steps = 5
     summary = {
         "xplane": path,
         "device_total_ms_per_step": round(total_ns / 1e9 / steps, 3),

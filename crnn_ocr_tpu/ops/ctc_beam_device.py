@@ -44,6 +44,12 @@ AFTER the scan from per-step backpointers — no (B, W, T) prefix buffer in
 the hot loop, which is also why this decoder is *faster* than the previous
 vectorized approximate one.
 
+Dispatch is TIERED per frame: a syntactic safety proof (cheap) admits the
+all-open top-W directly; only when it fails does the eviction-bound proof
+run, and only when THAT fails does the exact sequential-gating pass run.
+Each tier's predicate implies the next tier would agree, so the result is
+bit-identical regardless of which tier answers.
+
 Scoring conventions match ``K.ctc_decode`` exactly: inputs are post-softmax
 probabilities, per-frame scores are ``log_softmax(log(p + 1e-7))``, returned
 scores are total prefix log-probabilities; dense outputs pad with -1;
@@ -75,6 +81,16 @@ def _lse(a, b):
     return jnp.where(m > NEG / 2, out, NEG)
 
 
+def _sel1(onehot, vals):
+    """Gather-free row lookup: ``vals[b, idx[b, j]]`` as a one-hot
+    select-reduce. On v5e a (B, W) ``take_along_axis`` lowers to a custom
+    gather kernel with ~3 us of launch overhead per call — at W=10 the
+    (B, K, W) select+sum is pure fused vector math and effectively free
+    (measured: the gathers + the inv_perm scatter were ~55 of the ~88 us
+    per decoded frame at B=32)."""
+    return jnp.sum(jnp.where(onehot, vals[:, None, :], 0), axis=2)
+
+
 def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
     """One TF-exact beam step. See module docstring for the derivation."""
     (total, p_b, p_nb, hashes, parent_hash, last_label, length, alive) = state
@@ -95,15 +111,18 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
     )  # (B, j, k)
     parent_found = jnp.any(pmatch, axis=2)  # (B, W)
     parent_idx = jnp.argmax(pmatch, axis=2)  # (B, W)
-    par_total = jnp.take_along_axis(total, parent_idx, axis=1)
-    par_p_b = jnp.take_along_axis(p_b, parent_idx, axis=1)
-    par_label = jnp.take_along_axis(last_label, parent_idx, axis=1)
+    # pmatch has at most one hit per row j -> the masked sums ARE the
+    # parent lookups (0 when no parent; fold's where masks that out).
+    par_total = _sel1(pmatch, total)
+    par_p_b = _sel1(pmatch, p_b)
+    par_label = _sel1(pmatch, last_label)
     prev_route = jnp.where(last_label == par_label, par_p_b, par_total)
     fold = jnp.where(parent_found, prev_route, NEG)
 
-    lp_label = jnp.take_along_axis(
-        lp, jnp.maximum(last_label, 0), axis=1
-    )  # (B, W); root's -1 clamped but unused
+    lab_onehot = (
+        jnp.arange(C)[None, None, :] == last_label[:, :, None]
+    )  # (B, j, C); all-false for the root's -1 (lp_label unused there)
+    lp_label = _sel1(lab_onehot, lp)  # (B, W)
     has_label = length > 0
     new_p_nb = jnp.where(
         has_label, _lse(p_nb, fold) + lp_label, p_nb
@@ -115,13 +134,22 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
     new_p_nb = jnp.where(alive, new_p_nb, NEG)
 
     # Stable sort of stays (descending): ties keep branch (carried) order,
-    # exactly TF's stable re-sort after the stay updates.
-    perm = jnp.argsort(-stay_total, axis=1, stable=True)  # (B, W)
-    s_total = jnp.take_along_axis(stay_total, perm, axis=1)
-    # inverse permutation: sorted position of branch j's stay
-    inv_perm = jnp.zeros((B, W), jnp.int32).at[
-        jnp.arange(B)[:, None], perm
-    ].set(iW[None, :].astype(jnp.int32))
+    # exactly TF's stable re-sort after the stay updates. Multi-operand
+    # lax.sort co-sorts the branch ids (perm) for free; the inverse
+    # permutation comes from comparison COUNTING, not a scatter (the
+    # .at[].set scatter was a 21 us/frame custom kernel on v5e).
+    neg_s, perm = jax.lax.sort(
+        (-stay_total,
+         jnp.broadcast_to(iW[None, :].astype(jnp.int32), (B, W))),
+        dimension=1, num_keys=1, is_stable=True,
+    )
+    s_total = -neg_s
+    sv_j = stay_total[:, :, None]  # (B, j, 1)
+    sv_k = stay_total[:, None, :]  # (B, 1, k)
+    inv_perm = jnp.sum(
+        (sv_k > sv_j) | ((sv_k == sv_j) & (iW[None, None, :] < iW[None, :, None])),
+        axis=2,
+    ).astype(jnp.int32)  # (B, W): sorted position of branch j's stay
 
     # ---------------- Phase 2: candidate pool ----------------
     # Candidate (branch i, label l): parent-route mass + emission.
@@ -140,9 +168,7 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
         & alive[:, None, :]
         & alive[:, :, None]
     )  # (B, i, j): stay j is branch i's child
-    lab_onehot = (
-        jnp.arange(C)[None, None, :] == last_label[:, :, None]
-    )  # (B, j, C)
+    # lab_onehot defined in phase 1 (reused here)
     excl = jnp.einsum(
         "bij,bjc->bic", child_of.astype(jnp.float32),
         lab_onehot.astype(jnp.float32),
@@ -169,7 +195,12 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
     #   * a strict value gap at the W boundary means dropping any gated-off
     #     (necessarily unselected) candidate cannot change the selection.
     # When every selected candidate's branch passes all three, the all-open
-    # top-W IS the sequential result; otherwise take the exact slow path.
+    # top-W IS the sequential result. The zeroing test (second bullet) is
+    # TIERED: the syntactic form (stay survived / no parent / parent not
+    # earlier) decides 29/30 frames on near-uniform posteriors identically
+    # to the full eviction bound (measured: cheap_ok == fast_ok, zero
+    # rescues), so the expensive bound runs only in the fallback branch of
+    # a nested cond — off the common path entirely.
     topv1, topi1 = jax.lax.top_k(pool, W + 1)
     bottom_final = topv1[:, W - 1]  # (B,)
     sel_idx = topi1[:, :W]
@@ -187,75 +218,74 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
         axis=1,
     )  # (B, W): branch j's stay survived
     ok_a = jnp.all(~bsel | (total > bottom_final[:, None]), axis=1)
-    kappa = parent_idx * C + jnp.maximum(last_label, 0)  # parent regen key
-    # The only zeroing hazard for branch j: its stay evicted BEFORE the
-    # parent's regeneration attempt at key kappa_j. Bound the eviction
-    # directly (no sort, no fixpoint): count pool entries with priority
-    # above stay_j among {all stays} u {candidates with key < kappa_j},
-    # under ALL-OPEN inclusion (a superset of the true sequential
-    # inclusion, so the count is an upper bound; < W => provably never
-    # evicted => zeroing impossible => fast path safe for j). Priority =
-    # sorted-descending stable order: value desc; ties -> stays (by stay
-    # sort position) before candidates. A stricter-than-needed stay_in_top
-    # test alone rejected ~3% of samples per frame on PEAKED (deployment)
-    # posteriors — and the batch-global fast_ok then sank every sample
-    # into the sequential fixpoint (28x slower end-to-end, measured).
-    sv_j = stay_total[:, :, None]  # (B, j, 1)
-    sv_k = stay_total[:, None, :]  # (B, 1, k)
-    prior_stays = jnp.sum(
-        (sv_k > sv_j)
-        | ((sv_k == sv_j) & (inv_perm[:, None, :] < inv_perm[:, :, None])),
-        axis=2,
-    )  # (B, W)
-    # Refinement that makes the bound tight on PEAKED (deployment)
-    # posteriors: branch 0 has no parent (cannot be zeroed) and is open
-    # whenever the beam is underfull or its total beats the worst stay —
-    # both checkable directly. When it is provably open, the W-th best of
-    # {stays} u {branch-0 candidates} LOWER-bounds the bottom from sweep 1
-    # on (streaming top-W of everything seen; bottom is monotone), so any
-    # branch whose total cannot beat that is PROVABLY closed and its
-    # candidates never insert — excluded from the eviction count. Without
-    # this, phantom candidates of gate-closed weak branches inflate the
-    # all-open bound past W and reject ~2-3% of samples per frame.
-    n_finite_stays = jnp.sum(s_total > NEG / 2, axis=1)  # (B,)
-    bottom_start = s_total[:, W - 1]
-    b0_open = eligible[:, 0] & (
-        (n_finite_stays < W) | (total[:, 0] > bottom_start)
-    )  # (B,)
-    union0 = jnp.concatenate([s_total, cand[:, 0, :]], axis=1)
-    bottom_lb = jax.lax.top_k(union0, W)[0][:, W - 1]  # (B,)
-    provably_closed = (
-        b0_open[:, None]
-        & (iW[None, :] >= 1)
-        & (total <= bottom_lb[:, None])
-    )  # (B, W): candidates of these branches never insert
-    cand_flat = cand.reshape(B, 1, W * C)
-    keys = jnp.arange(W * C, dtype=jnp.int32)[None, None, :]
-    notclosed_flat = jnp.repeat(~provably_closed, C, axis=1)[:, None, :]
-    prior_cands = jnp.sum(
-        (cand_flat > sv_j) & (keys < kappa[:, :, None]) & notclosed_flat,
-        axis=2,
-    )  # (B, W)
-    never_evicted = (prior_stays + prior_cands) < W
-    safe_zero = (
-        stay_in_top
-        | ~parent_found
-        | (parent_idx >= iW[None, :])
-        | never_evicted
-    )
-    ok_b = jnp.all(~bsel | safe_zero, axis=1)
     ok_c = (topv1[:, W - 1] > topv1[:, W]) | (topv1[:, W] <= NEG / 2)
-    fast_ok = jnp.all(ok_a & ok_b & ok_c)
-    risky = bsel & ~stay_in_top & parent_found & (parent_idx < iW[None, :])
-    diag = jnp.stack(
-        [jnp.mean(ok_a), jnp.mean(ok_b), jnp.mean(ok_c),
-         jnp.sum(risky).astype(jnp.float32),
-         jnp.sum(risky & never_evicted).astype(jnp.float32),
-         jnp.sum(risky & ~never_evicted).astype(jnp.float32)]
-    ).astype(jnp.float32)
+    kappa = parent_idx * C + jnp.maximum(last_label, 0)  # parent regen key
+    cheap_safe = (
+        stay_in_top | ~parent_found | (parent_idx >= iW[None, :])
+    )
+    # cheap_ok implies fast_ok (cheap_safe is a subset of safe_zero below).
+    cheap_ok = jnp.all(
+        ok_a & jnp.all(~bsel | cheap_safe, axis=1) & ok_c
+    )
 
     def fast_path(_):
         return topv1[:, :W], topi1[:, :W]
+
+    def bound_path(_):
+        # The only zeroing hazard for branch j: its stay evicted BEFORE the
+        # parent's regeneration attempt at key kappa_j. Bound the eviction
+        # directly (no sort, no fixpoint): count pool entries with priority
+        # above stay_j among {all stays} u {candidates with key < kappa_j},
+        # under ALL-OPEN inclusion (a superset of the true sequential
+        # inclusion, so the count is an upper bound; < W => provably never
+        # evicted => zeroing impossible => fast path safe for j). Priority =
+        # sorted-descending stable order: value desc; ties -> stays (by stay
+        # sort position) before candidates. A stricter-than-needed
+        # stay_in_top test alone rejected ~3% of samples per frame on
+        # PEAKED (deployment) posteriors — and the batch-global fast_ok
+        # then sank every sample into the sequential fixpoint (28x slower
+        # end-to-end, measured). sv_j/sv_k defined with inv_perm above.
+        prior_stays = jnp.sum(
+            (sv_k > sv_j)
+            | ((sv_k == sv_j)
+               & (inv_perm[:, None, :] < inv_perm[:, :, None])),
+            axis=2,
+        )  # (B, W)
+        # Refinement that makes the bound tight on PEAKED (deployment)
+        # posteriors: branch 0 has no parent (cannot be zeroed) and is open
+        # whenever the beam is underfull or its total beats the worst stay —
+        # both checkable directly. When it is provably open, the W-th best
+        # of {stays} u {branch-0 candidates} LOWER-bounds the bottom from
+        # sweep 1 on (streaming top-W of everything seen; bottom is
+        # monotone), so any branch whose total cannot beat that is PROVABLY
+        # closed and its candidates never insert — excluded from the
+        # eviction count. Without this, phantom candidates of gate-closed
+        # weak branches inflate the all-open bound past W and reject ~2-3%
+        # of samples per frame.
+        n_finite_stays = jnp.sum(s_total > NEG / 2, axis=1)  # (B,)
+        bottom_start = s_total[:, W - 1]
+        b0_open = eligible[:, 0] & (
+            (n_finite_stays < W) | (total[:, 0] > bottom_start)
+        )  # (B,)
+        union0 = jnp.concatenate([s_total, cand[:, 0, :]], axis=1)
+        bottom_lb = jax.lax.top_k(union0, W)[0][:, W - 1]  # (B,)
+        provably_closed = (
+            b0_open[:, None]
+            & (iW[None, :] >= 1)
+            & (total <= bottom_lb[:, None])
+        )  # (B, W): candidates of these branches never insert
+        cand_flat = cand.reshape(B, 1, W * C)
+        keys = jnp.arange(W * C, dtype=jnp.int32)[None, None, :]
+        notclosed_flat = jnp.repeat(~provably_closed, C, axis=1)[:, None, :]
+        prior_cands = jnp.sum(
+            (cand_flat > sv_j) & (keys < kappa[:, :, None]) & notclosed_flat,
+            axis=2,
+        )  # (B, W)
+        never_evicted = (prior_stays + prior_cands) < W
+        safe_zero = cheap_safe | never_evicted
+        ok_b = jnp.all(~bsel | safe_zero, axis=1)
+        fast_ok = jnp.all(ok_a & ok_b & ok_c)
+        return jax.lax.cond(fast_ok, fast_path, slow_path, None)
 
     # -------- Slow path: exact sequential gating, ONE left-to-right pass
     # over the W sweeps. Gate/zeroing state for sweep j depends only on
@@ -304,7 +334,7 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
             axis=2,
         )  # (B, W)
 
-        # kappa defined in the fast-path section (parent regen key).
+        # kappa (parent regen key) is defined before the dispatch tiers.
 
         # Precomputed count structures over the sorted pool. All running
         # counts are TRIANGULAR-MATRIX MXU MATMULS in f32 under
@@ -413,27 +443,30 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
         top_vals, top_idx = fast_path(None)
     else:
         top_vals, top_idx = jax.lax.cond(
-            fast_ok, fast_path, slow_path, None
+            cheap_ok, fast_path, bound_path, None
         )
 
     is_stay = top_idx < W
-    stay_branch = jnp.take_along_axis(
-        perm, jnp.minimum(top_idx, W - 1), axis=1
-    )
+    oh_sorted = (
+        jnp.minimum(top_idx, W - 1)[:, :, None] == iW[None, None, :]
+    )  # one-hot over sorted stay positions
+    stay_branch = _sel1(oh_sorted, perm)
     cand_branch = jnp.clip((top_idx - W) // C, 0, W - 1)
     cand_label = (top_idx - W) % C
     src = jnp.where(is_stay, stay_branch, cand_branch)  # carried slot
 
-    gather = lambda a: jnp.take_along_axis(a, src, axis=1)
+    oh_src = src[:, :, None] == iW[None, None, :]  # (B, W, W)
+    gather = lambda a: _sel1(oh_src, a)
     n_total = top_vals
     n_p_b = jnp.where(is_stay, gather(new_p_b), NEG)
     n_p_nb = jnp.where(is_stay, gather(new_p_nb), top_vals)
+    src_hash = gather(hashes)
     n_hash = jnp.where(
         is_stay,
-        gather(hashes),
-        gather(hashes) * HASH_P + (cand_label + 1).astype(jnp.uint32),
+        src_hash,
+        src_hash * HASH_P + (cand_label + 1).astype(jnp.uint32),
     )
-    n_parent_hash = jnp.where(is_stay, gather(parent_hash), gather(hashes))
+    n_parent_hash = jnp.where(is_stay, gather(parent_hash), src_hash)
     n_last_label = jnp.where(is_stay, gather(last_label), cand_label)
     n_length = jnp.where(is_stay, gather(length), gather(length) + 1)
     n_alive = top_vals > NEG / 2
@@ -443,7 +476,7 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
     return (
         (n_total, n_p_b, n_p_nb, n_hash, n_parent_hash, n_last_label,
          n_length, n_alive),
-        (bp_src, bp_label, diag),
+        (bp_src, bp_label),
     )
 
 
@@ -496,7 +529,7 @@ def ctc_beam_search_decode_tf(
 
     def step(state, inp):
         lp, t = inp
-        new_state, (bp_src, bp_label, diag) = _beam_step(
+        new_state, (bp_src, bp_label) = _beam_step(
             state, lp, W=W, C=C, force_fast=_force_fast
         )
         frozen = (t >= input_length)[:, None]  # (B, 1)
@@ -507,21 +540,20 @@ def ctc_beam_search_decode_tf(
         bp_src = jnp.where(frozen, jnp.arange(W, dtype=jnp.int32)[None, :],
                            bp_src)
         bp_label = jnp.where(frozen, -1, bp_label)
-        return out_state, (bp_src, bp_label, diag)
+        return out_state, (bp_src, bp_label)
 
     state0 = (total0, p_b0, p_nb0, hash0, parent_hash0, last_label0,
               length0, alive0)
     ts = jnp.arange(T, dtype=jnp.int32)
-    (total, _, _, _, _, _, _, alive), (bps, bpl, _diag) = jax.lax.scan(
+    (total, _, _, _, _, _, _, alive), (bps, bpl) = jax.lax.scan(
         step, state0, (jnp.transpose(lp_all, (1, 0, 2)), ts)
     )
 
     # Final beam is maintained in TF's final order (desc, stable) already.
     P = top_paths
     sel = jnp.arange(P, dtype=jnp.int32)[None, :].repeat(B, 0)  # (B, P)
-    scores = jnp.take_along_axis(total, sel, axis=1)
-    alive_sel = jnp.take_along_axis(alive, sel, axis=1)
-    scores = jnp.where(alive_sel, scores, -jnp.inf)
+    alive_sel = alive[:, :P]
+    scores = jnp.where(alive_sel, total[:, :P], -jnp.inf)
 
     # Reconstruct prefixes from backpointers (reverse walk).
     def back(carry, bp):
