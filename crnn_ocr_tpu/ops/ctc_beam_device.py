@@ -382,54 +382,50 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
             axis=2,
         )  # (B, Wj)
 
-        def sweep(j, carry):
-            open_, zeroed, S = carry  # S: (B, N) inclusion count curve
+        # The W sweeps are UNROLLED (W is a small static constant): a
+        # fori_loop pays per-iteration while-loop overhead and blocks
+        # cross-sweep fusion, and the rolled body computed whole (B, W)
+        # rows where only column j is consumed. Each unrolled sweep is
+        # O(B*W + B*N) elementwise work, gather-free: the parent-open
+        # lookup is a one-hot any(), and the running bottom is a masked
+        # max over the inclusion curve (vals_sorted is descending, so the
+        # max over positions with count >= W IS the first-hit value).
+        open_ = jnp.zeros((B, W), bool)
+        S = stays_inc  # (B, N) inclusion count curve
+        for j in range(W):
             # zeroing of branch j: its stay evicted before the parent's
             # regeneration attempt (parent decided in an earlier sweep)
-            open_f = open_.astype(jnp.float32)
-            full_sum = jnp.sum(
-                jnp.where(iW[None, None, :] < pj[:, :, None],
-                          open_f[:, None, :] * above, 0.0),
-                axis=2,
-            )  # (B, Wj): opened origins strictly before parent
-            par_open = jnp.take_along_axis(
-                jnp.concatenate([open_, jnp.zeros((B, 1), bool)], axis=1),
-                pj, axis=1,
-            )
+            pj_j = pj[:, j][:, None]  # (B, 1)
+            par_open_j = jnp.any(open_ & (iW[None, :] == pj_j), axis=1)
+            full_j = jnp.sum(
+                jnp.where((iW[None, :] < pj_j) & open_,
+                          above[:, j, :], 0.0),
+                axis=1,
+            )  # (B,): opened origins strictly before parent
             prior_j = (
                 stays_above[:, j]
-                + full_sum[:, j]
-                + par_open[:, j].astype(jnp.float32) * partial_pj[:, j]
+                + full_j
+                + par_open_j.astype(jnp.float32) * partial_pj[:, j]
             )
             zeroed_j = (
                 alive[:, j]
                 & parent_found[:, j]
                 & (parent_idx[:, j] < j)
-                & par_open[:, j]
+                & par_open_j
                 & (prior_j >= W)
             )
             # bottom before sweep j from the current inclusion curve
             count_total = S[:, -1]
-            hit = jnp.argmax(S >= W, axis=1)
-            bottom = jnp.take_along_axis(
-                vals_sorted, hit[:, None], axis=1
-            )[:, 0]
+            bottom = jnp.max(
+                jnp.where(S >= W, vals_sorted, NEG), axis=1
+            )
             open_j = (
                 eligible[:, j]
                 & ~zeroed_j
                 & ((count_total < W) | (total[:, j] > bottom))
             )
-            open_ = open_.at[:, j].set(open_j)
-            zeroed = zeroed.at[:, j].set(zeroed_j)
+            open_ = jnp.where(iW[None, :] == j, open_j[:, None], open_)
             S = S + jnp.where(open_j[:, None], cand_inc[j], 0.0)
-            return open_, zeroed, S
-
-        init = (
-            jnp.zeros((B, W), bool),
-            jnp.zeros((B, W), bool),
-            stays_inc,
-        )
-        open_, zeroed, _ = jax.lax.fori_loop(0, W, sweep, init)
 
         open_bc = jnp.repeat(open_, C, axis=1)  # (B, W*C) candidate gate
         pool_masked = jnp.concatenate(
