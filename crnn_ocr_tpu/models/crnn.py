@@ -143,7 +143,10 @@ class CRNN(nn.Module):
             x = x[..., None]
 
         if cfg.use_stn:
-            x = STN(dtype=dtype, name="stn")(x, train=train)
+            x = STN(
+                dtype=dtype, mesh=self.mesh,
+                pallas_interpret=self.pallas_interpret, name="stn",
+            )(x, train=train)
 
         # Stem. (An im2col-einsum weight-grad rewrite was tried and reverted:
         # XLA lowered the Cin=1 contraction to the same multiply-reduce plus

@@ -27,6 +27,10 @@ class STN(nn.Module):
     loc_filters: Sequence[int] = (16, 32)
     loc_dense: int = 50
     dtype: jnp.dtype = jnp.float32
+    # GSPMD mesh when data-parallel (Pallas sampler runs per shard via
+    # shard_map); interpret runs the kernel in interpreter mode (CPU tests).
+    mesh: object = None
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -50,4 +54,6 @@ class STN(nn.Module):
             ),
             dtype=self.dtype,
         )(h)
-        return grid_sample_affine(x, theta)
+        return grid_sample_affine(
+            x, theta, mesh=self.mesh, interpret=self.pallas_interpret
+        )

@@ -215,11 +215,51 @@ def bilinear_sample_banded(
 
 def grid_sample_affine(
     img: jnp.ndarray, theta: jnp.ndarray, out_height: int | None = None,
-    out_width: int | None = None,
+    out_width: int | None = None, use_pallas: bool | None = None,
+    mesh=None, interpret: bool = False,
 ) -> jnp.ndarray:
-    """Warp ``img`` by affine ``theta``: the full STN sampling path."""
+    """Warp ``img`` by affine ``theta``: the full STN sampling path.
+
+    ``use_pallas=None`` -> the VMEM-resident Pallas kernel
+    (kernels/grid_sample.py) on single-device TPU backends, or on a
+    multi-device ``mesh`` via shard_map (batch is the only sharded axis);
+    the XLA banded sampler otherwise (CPU, unsupported shapes, or
+    mesh-less multi-device execution where a bare pallas_call has no SPMD
+    partitioning rule).
+    """
+    import functools
+
     B, H, W, C = img.shape
     Ho = out_height or H
     Wo = out_width or W
     coords = affine_grid(theta, Ho, Wo)
+
+    from crnn_ocr_tpu.kernels.grid_sample import (
+        bilinear_sample_pallas,
+        pallas_sampler_default,
+        sampler_supported,
+    )
+
+    if use_pallas is None:
+        use_pallas = pallas_sampler_default() and (
+            mesh is not None or jax.device_count() == 1
+        )
+    n_shards = mesh.size if mesh is not None else 1
+    if (
+        use_pallas
+        and sampler_supported(img.shape, coords.shape)
+        and B % n_shards == 0
+    ):
+        call = functools.partial(bilinear_sample_pallas, interpret=interpret)
+        if n_shards > 1:
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(mesh.axis_names[0], None, None, None)
+            # check_vma=False: pallas_call out_shapes carry no varying-
+            # mesh-axes metadata (same as the RNN/CTC kernels)
+            call = jax.shard_map(
+                call, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+                check_vma=False,
+            )
+        return call(img, coords)
     return bilinear_sample_banded(img, coords)

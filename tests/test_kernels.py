@@ -268,3 +268,139 @@ def test_bigru_bf16_gradients_dtypes_and_values():
             np.asarray(a, np.float32), np.asarray(c, np.float32),
             rtol=0.1, atol=0.05,
         )
+
+
+# ---------------------------------------------------------------------------
+# Pallas grid sampler (kernels/grid_sample.py)
+# ---------------------------------------------------------------------------
+
+
+def _rand_coords(rng, B, Ho, Wo, spread=1.3):
+    """Random normalized coords, deliberately overshooting [-1, 1] to hit
+    the border-clamp paths."""
+    return jnp.asarray(
+        rng.uniform(-spread, spread, size=(B, Ho, Wo, 2)).astype(np.float32)
+    )
+
+
+def test_grid_sample_pallas_matches_general():
+    from crnn_ocr_tpu.kernels.grid_sample import (
+        bilinear_sample_pallas,
+        sampler_supported,
+    )
+    from crnn_ocr_tpu.ops.grid_sample import bilinear_sample
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.normal(size=(3, 16, 24, 1)).astype(np.float32))
+    coords = _rand_coords(rng, 3, 16, 24)
+    assert sampler_supported(img.shape, coords.shape)
+    got = bilinear_sample_pallas(img, coords, interpret=True)
+    want = bilinear_sample(img, coords)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_grid_sample_pallas_multichunk():
+    """W=256 drops the chunk below the flat size -> accumulation across
+    grid steps, incl. the d_img output-block accumulator."""
+    from crnn_ocr_tpu.kernels.grid_sample import (
+        _pick_chunk,
+        bilinear_sample_pallas,
+    )
+    from crnn_ocr_tpu.ops.grid_sample import bilinear_sample
+
+    rng = np.random.default_rng(4)
+    B, H, W = 2, 32, 256
+    img = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float32))
+    coords = _rand_coords(rng, B, H, W)
+    assert _pick_chunk(H * W, W) < H * W  # really multi-chunk
+    got = bilinear_sample_pallas(img, coords, interpret=True)
+    want = bilinear_sample(img, coords)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+    def loss_p(img):
+        return jnp.sum(
+            jnp.cos(bilinear_sample_pallas(img, coords, interpret=True))
+        )
+
+    def loss_x(img):
+        return jnp.sum(jnp.cos(bilinear_sample(img, coords)))
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_p)(img)),
+        np.asarray(jax.grad(loss_x)(img)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_grid_sample_pallas_gradients_match_xla():
+    """Analytic backward kernel == XLA autodiff of the gather sampler,
+    w.r.t. the image AND theta (through affine_grid)."""
+    from crnn_ocr_tpu.kernels.grid_sample import bilinear_sample_pallas
+    from crnn_ocr_tpu.ops.grid_sample import (
+        affine_grid,
+        bilinear_sample,
+    )
+
+    rng = np.random.default_rng(5)
+    B, H, W = 2, 16, 24
+    img = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float32))
+    theta = jnp.asarray(
+        (rng.normal(size=(B, 6)) * 0.1).astype(np.float32)
+    ) + jnp.asarray([1.0, 0, 0, 0, 1.0, 0])
+
+    def loss(sampler):
+        def f(img, theta):
+            coords = affine_grid(theta, H, W)
+            out = sampler(img, coords)
+            return jnp.sum(jnp.sin(out * 3.0))
+
+        return f
+
+    pall = loss(lambda i, c: bilinear_sample_pallas(i, c, interpret=True))
+    ref = loss(bilinear_sample)
+    gi_p, gt_p = jax.grad(pall, argnums=(0, 1))(img, theta)
+    gi_x, gt_x = jax.grad(ref, argnums=(0, 1))(img, theta)
+    np.testing.assert_allclose(
+        np.asarray(gi_p), np.asarray(gi_x), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gt_p), np.asarray(gt_x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_stn_model_with_pallas_sampler():
+    """Full CRNN forward with the Pallas sampler (interpret) == banded."""
+    from crnn_ocr_tpu.models import CRNN, ModelConfig
+    from crnn_ocr_tpu.models import stn as stn_mod
+
+    cfg = ModelConfig(num_classes=11, width=64, use_stn=True,
+                      use_pallas_rnn=False)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 32, 64, 1)).astype(np.float32))
+
+    model_ref = CRNN(cfg=cfg)
+    variables = model_ref.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x, train=False,
+    )
+    want = model_ref.apply(variables, x, train=False)
+
+    orig = stn_mod.grid_sample_affine
+    try:
+        stn_mod.grid_sample_affine = (
+            lambda img, theta, mesh=None, interpret=False, **kw: orig(
+                img, theta, use_pallas=True, interpret=True
+            )
+        )
+        got = CRNN(cfg=cfg, pallas_interpret=True).apply(
+            variables, x, train=False
+        )
+    finally:
+        stn_mod.grid_sample_affine = orig
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
