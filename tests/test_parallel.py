@@ -340,3 +340,41 @@ def test_dp_train_step_with_pallas_rnn_matches_scan():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
         )
+
+
+def test_pallas_grid_sample_shard_map_matches_banded():
+    """grid_sample_affine with a multi-device mesh dispatches the Pallas
+    sampler per shard via shard_map (interpret on the CPU mesh) — values
+    and gradients must match the XLA banded path."""
+    from crnn_ocr_tpu.ops.grid_sample import grid_sample_affine
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(11)
+    B, H, W = 16, 16, 24  # n4=384 lane-tileable; per-shard batch 2
+    img = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float32))
+    theta = jnp.asarray(
+        (rng.normal(size=(B, 6)) * 0.2).astype(np.float32)
+    ) + jnp.asarray([1.0, 0, 0, 0, 1.0, 0])
+
+    def loss(sampler_kw):
+        def f(img, theta):
+            out = grid_sample_affine(img, theta, **sampler_kw)
+            return jnp.sum(jnp.cos(2.0 * out)), out
+
+        return f
+
+    pall = loss(dict(use_pallas=True, mesh=mesh, interpret=True))
+    band = loss(dict(use_pallas=False))
+    (lp, op), (gi_p, gt_p) = jax.value_and_grad(
+        pall, argnums=(0, 1), has_aux=True
+    )(img, theta)
+    (lb, ob), (gi_b, gt_b) = jax.value_and_grad(
+        band, argnums=(0, 1), has_aux=True
+    )(img, theta)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ob),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(lp), float(lb), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gi_p), np.asarray(gi_b),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_b),
+                               rtol=1e-4, atol=1e-4)
