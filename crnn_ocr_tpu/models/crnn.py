@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -60,6 +61,12 @@ class ModelConfig:
     # resolve_runtime_flags at model-build time). This is a runtime knob,
     # not architecture — params are identical either way.
     use_pallas_rnn: "bool | None" = None
+    # Fused Pallas serve-stem (kernels/fused_stem.py): conv+BN+ReLU+pool in
+    # one VMEM-resident kernel, inference only (train-mode BN needs the
+    # full-res activation). None = auto: on for TPU backends when the
+    # compute dtype is bfloat16 (the kernel's conv operands are bf16).
+    # Runtime knob — params are identical either way.
+    use_fused_stem: "bool | None" = None
 
     @property
     def logits_dim(self) -> int:
@@ -134,6 +141,28 @@ class CRNN(nn.Module):
     # Run Pallas kernels in interpreter mode (CPU-mesh tests only).
     pallas_interpret: bool = False
 
+    def _fused_stem_active(self, x, train: bool) -> bool:
+        """Serve-only fused stem gate (kernels/fused_stem.py): explicit
+        True wins (tests use it with pallas_interpret); auto (None) needs a
+        TPU backend, bf16 compute, and a supported shape."""
+        from crnn_ocr_tpu.kernels.fused_stem import (
+            fused_stem_default,
+            stem_supported,
+        )
+
+        cfg = self.cfg
+        if train or cfg.use_fused_stem is False:
+            return False
+        if not stem_supported(x.shape):
+            return False
+        if cfg.use_fused_stem:
+            return True
+        return (
+            cfg.dtype == "bfloat16"
+            and fused_stem_default()
+            and (self.mesh is not None or jax.device_count() == 1)
+        )
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.cfg
@@ -151,16 +180,37 @@ class CRNN(nn.Module):
         # Stem. (An im2col-einsum weight-grad rewrite was tried and reverted:
         # XLA lowered the Cin=1 contraction to the same multiply-reduce plus
         # a 600 MB tap materialization — no MXU routing, pure overhead.)
-        x = nn.Conv(
+        stem_conv = nn.Conv(
             cfg.stem_filters, (3, 3), padding="SAME", use_bias=False,
             dtype=dtype, name="stem_conv",
-        )(x)
-        x = nn.BatchNorm(
+        )
+        stem_bn = nn.BatchNorm(
             use_running_average=not train, dtype=dtype, name="stem_bn",
             epsilon=1e-3, momentum=0.99,
-        )(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        )
+        if self._fused_stem_active(x, train):
+            from crnn_ocr_tpu.kernels.fused_stem import fused_stem_dispatch
+
+            # Dummy calls create the identical param/batch_stats tree; the
+            # results are unused and DCE'd by XLA. The kernel then reads
+            # the bound children's variables directly.
+            _ = stem_conv(jnp.zeros((1, 3, 3, 1), dtype))
+            _ = stem_bn(jnp.zeros((1, 1, 1, cfg.stem_filters), dtype))
+            x = fused_stem_dispatch(
+                x,
+                stem_conv.variables["params"]["kernel"],
+                stem_bn.variables["params"]["scale"],
+                stem_bn.variables["params"]["bias"],
+                stem_bn.variables["batch_stats"]["mean"],
+                stem_bn.variables["batch_stats"]["var"],
+                mesh=self.mesh, interpret=self.pallas_interpret,
+                out_dtype=dtype,
+            )
+        else:
+            x = stem_conv(x)
+            x = stem_bn(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
         # Depthwise-separable backbone
         for i, (filters, pool) in enumerate(

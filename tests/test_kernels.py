@@ -404,3 +404,113 @@ def test_stn_model_with_pallas_sampler():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas serve-stem (kernels/fused_stem.py)
+# ---------------------------------------------------------------------------
+
+
+def _xla_stem_ref(img, conv_w, gamma, beta, mean, var, eps=1e-3):
+    """Serve-mode XLA stem: bf16 conv, f32 affine, relu, maxpool 2x2."""
+    x = img.astype(jnp.bfloat16)
+    y = jax.lax.conv_general_dilated(
+        x, conv_w.astype(jnp.bfloat16), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    inv = gamma / jnp.sqrt(var + eps)
+    y = jnp.maximum(y * inv + (beta - mean * inv), 0.0)
+    y = jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+    return y.astype(jnp.bfloat16)
+
+
+def test_fused_stem_matches_xla_reference():
+    from crnn_ocr_tpu.kernels.fused_stem import (
+        fused_stem_serve,
+        stem_supported,
+    )
+
+    rng = np.random.default_rng(7)
+    B, H, W, C = 4, 32, 128, 64
+    img = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float32))
+    conv_w = jnp.asarray(
+        rng.normal(size=(3, 3, 1, C)).astype(np.float32) * 0.2
+    )
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, C).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    mean = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    var = jnp.asarray(rng.uniform(0.5, 2.0, C).astype(np.float32))
+
+    assert stem_supported(img.shape)
+    got = np.asarray(
+        fused_stem_serve(img, conv_w, gamma, beta, mean, var,
+                         interpret=True),
+        np.float32,
+    )
+    ref = np.asarray(
+        _xla_stem_ref(img, conv_w, gamma, beta, mean, var), np.float32
+    )
+    assert got.shape == (B, H // 2, W // 2, C)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_stem_odd_batch_and_wide():
+    """Group fallback (B=3 -> G=1) and a 256-wide bucket."""
+    from crnn_ocr_tpu.kernels.fused_stem import fused_stem_serve
+
+    rng = np.random.default_rng(8)
+    B, H, W, C = 3, 32, 256, 16
+    img = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float32))
+    conv_w = jnp.asarray(
+        rng.normal(size=(3, 3, 1, C)).astype(np.float32) * 0.2
+    )
+    ones = jnp.ones(C, jnp.float32)
+    zeros = jnp.zeros(C, jnp.float32)
+    got = np.asarray(
+        fused_stem_serve(img, conv_w, ones, zeros, zeros, ones,
+                         interpret=True),
+        np.float32,
+    )
+    ref = np.asarray(
+        _xla_stem_ref(img, conv_w, ones, zeros, zeros, ones), np.float32
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_crnn_serve_with_fused_stem_matches_xla_path():
+    """Full CRNN bf16 serve forward, fused stem (interpret) vs XLA stem."""
+    import dataclasses
+
+    from crnn_ocr_tpu.models import CRNN, ModelConfig
+
+    cfg = ModelConfig(num_classes=11, width=128, dtype="bfloat16",
+                      use_pallas_rnn=False, use_fused_stem=False)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 32, 128, 1)).astype(np.float32))
+
+    ref_model = CRNN(cfg=cfg)
+    variables = ref_model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x, train=False,
+    )
+    want = np.asarray(ref_model.apply(variables, x, train=False))
+
+    fused_model = CRNN(
+        cfg=dataclasses.replace(cfg, use_fused_stem=True),
+        pallas_interpret=True,
+    )
+    got = np.asarray(fused_model.apply(variables, x, train=False))
+    # bf16 stem rounding differences pass through softmax: loose bf16-level
+    # tolerance; identical param tree is the real invariant.
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+    v2 = fused_model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x, train=False,
+    )
+    assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(
+        variables
+    )
