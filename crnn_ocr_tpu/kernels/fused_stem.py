@@ -61,7 +61,8 @@ def _group_rows(H: int) -> int:
     return g
 
 
-def _stem_kernel(e_ref, o_ref, w_ref, s_ref, b_ref, out_ref, *, G, H, W, C):
+def _stem_kernel(e_ref, o_ref, w_ref, s_ref, b_ref, out_ref, *, G, H, W, C,
+                 bf16=True):
     Wh = W // 2
     GWh = G * Wh
     GH = _group_rows(H)
@@ -73,9 +74,12 @@ def _stem_kernel(e_ref, o_ref, w_ref, s_ref, b_ref, out_ref, *, G, H, W, C):
     # (invalid at w2==Wh-1); rolls are per-stacked-image masked.
     Om = jnp.where(row == 0, 0.0, pltpu.roll(O, 1, 0))
     Ep = jnp.where(row == Wh - 1, 0.0, pltpu.roll(E, GWh - 1, 0))
-    bf = jnp.bfloat16
-    taps_e = (Om.astype(bf), E.astype(bf), O.astype(bf))
-    taps_o = (E.astype(bf), O.astype(bf), Ep.astype(bf))
+    # bf16 operands for bf16 serving; f32 + Precision.HIGHEST otherwise
+    # (the default TPU matmul truncates f32 operands to bf16).
+    cast = (lambda t: t.astype(jnp.bfloat16)) if bf16 else (lambda t: t)
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    taps_e = (cast(Om), cast(E), cast(O))
+    taps_o = (cast(E), cast(O), cast(Ep))
     wb = w_ref[...]  # (3*KL, GH*2C) bf16 block-banded weights
     scale = s_ref[...]  # (1, GH*2C) f32
     bias = b_ref[...]
@@ -87,7 +91,8 @@ def _stem_kernel(e_ref, o_ref, w_ref, s_ref, b_ref, out_ref, *, G, H, W, C):
             a = jnp.concatenate(
                 [t[:, lo : lo + KL] for t in taps], axis=1
             )  # (G*Wh, 3*KL)
-            z = jnp.dot(a, wb, preferred_element_type=jnp.float32)
+            z = jnp.dot(a, wb, preferred_element_type=jnp.float32,
+                        precision=prec)
             return jnp.maximum(z * scale + bias, 0.0)  # (G*Wh, GH*2C)
 
         ae = conv(taps_e)
@@ -123,10 +128,13 @@ def stem_supported(img_shape: tuple) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret", "out_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("eps", "interpret", "out_dtype", "bf16")
+)
 def fused_stem_serve(
     img, conv_w, bn_gamma, bn_beta, bn_mean, bn_var,
     eps: float = 1e-3, interpret: bool = False, out_dtype=jnp.bfloat16,
+    bf16: bool = True,
 ):
     """img (B, H, W, 1) -> pooled stem activation (B, H//2, W//2, C).
 
@@ -159,7 +167,7 @@ def fused_stem_serve(
                     l = 2 * i + ph + kh
                     col = i * 2 * C + ph * C
                     wb = wb.at[kw * KL + l, col : col + C].add(k3[kh, kw])
-    wb = wb.astype(jnp.bfloat16)
+    wb = wb.astype(jnp.bfloat16) if bf16 else wb
 
     inv = bn_gamma.astype(jnp.float32) * jax.lax.rsqrt(
         bn_var.astype(jnp.float32) + eps
@@ -171,7 +179,8 @@ def fused_stem_serve(
     )[None, :]
 
     Wh = W // 2
-    kernel = functools.partial(_stem_kernel, G=G, H=H, W=W, C=C)
+    kernel = functools.partial(_stem_kernel, G=G, H=H, W=W, C=C,
+                               bf16=bf16)
     plane_spec = pl.BlockSpec(
         (G, Wh, H + 2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
     )
@@ -198,7 +207,8 @@ def fused_stem_serve(
 
 
 def fused_stem_default() -> bool:
-    """Auto policy: on for TPU backends (inference only)."""
+    """Auto policy: on for TPU backends (serve kernel here; train-mode
+    kernels in fused_stem_train.py share this gate via models/crnn.py)."""
     return jax.default_backend() in ("tpu", "axon")
 
 

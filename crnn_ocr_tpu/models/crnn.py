@@ -131,6 +131,39 @@ class DepthwiseSeparableBlock(nn.Module):
         return x
 
 
+class _StemBNState(nn.Module):
+    """Declares nn.BatchNorm's exact param/state tree (params scale/bias,
+    batch_stats mean/var — same names, shapes, inits) WITHOUT computing
+    normalization: the fused stem kernels do that math. First call returns
+    the current values; a second call with batch statistics applies the
+    running-stat momentum update (identical to flax BatchNorm's)."""
+
+    features: int
+    momentum: float = 0.99
+
+    @nn.compact
+    def __call__(self, batch_mean=None, batch_var=None):
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, jnp.float32), (self.features,),
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, jnp.float32), (self.features,),
+        )
+        if batch_mean is not None and not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * batch_mean
+            ra_var.value = m * ra_var.value + (1 - m) * batch_var
+        return scale, bias, ra_mean.value, ra_var.value
+
+
 class CRNN(nn.Module):
     """The flagship model: images (B, H, W, 1) -> logits (B, T, C+1)."""
 
@@ -142,25 +175,37 @@ class CRNN(nn.Module):
     pallas_interpret: bool = False
 
     def _fused_stem_active(self, x, train: bool) -> bool:
-        """Serve-only fused stem gate (kernels/fused_stem.py): explicit
-        True wins (tests use it with pallas_interpret); auto (None) needs a
-        TPU backend, bf16 compute, and a supported shape."""
+        """Fused stem gate (kernels/fused_stem.py serve kernel; in train
+        mode kernels/fused_stem_train.py): explicit True wins (tests use
+        it with pallas_interpret); auto (None) needs a TPU backend and a
+        supported shape. The train path additionally requires a non-STN
+        config: the train kernels return d_img = 0, valid only when the
+        image is a gradient leaf. Serving auto-on requires bf16 (the
+        kernel's conv operands are bf16 there); training runs either dtype
+        (f32 uses Precision.HIGHEST matmuls)."""
         from crnn_ocr_tpu.kernels.fused_stem import (
             fused_stem_default,
             stem_supported,
         )
 
         cfg = self.cfg
-        if train or cfg.use_fused_stem is False:
+        if cfg.use_fused_stem is False or not stem_supported(x.shape):
             return False
-        if not stem_supported(x.shape):
+        if train and cfg.use_stn:
             return False
         if cfg.use_fused_stem:
             return True
-        return (
-            cfg.dtype == "bfloat16"
-            and fused_stem_default()
-            and (self.mesh is not None or jax.device_count() == 1)
+        if not train and cfg.dtype != "bfloat16":
+            return False
+        # Auto gate is shape-profiled (idle-chip A/B, serve bf16): the
+        # kernel wins at b256/w128 (0.97 -> 0.88 ms) but loses at small
+        # batch (b32: 0.13 -> 0.23 ms — 4 near-empty programs) and wide
+        # buckets (w256: 2.11 -> 2.24 ms). Explicit True overrides.
+        B, _, W, _ = x.shape
+        if B < 128 or W > 128:
+            return False
+        return fused_stem_default() and (
+            self.mesh is not None or jax.device_count() == 1
         )
 
     @nn.compact
@@ -184,17 +229,41 @@ class CRNN(nn.Module):
             cfg.stem_filters, (3, 3), padding="SAME", use_bias=False,
             dtype=dtype, name="stem_conv",
         )
-        stem_bn = nn.BatchNorm(
-            use_running_average=not train, dtype=dtype, name="stem_bn",
-            epsilon=1e-3, momentum=0.99,
-        )
-        if self._fused_stem_active(x, train):
+
+        def make_bn():  # constructing a named module claims the name,
+            return nn.BatchNorm(  # so only the branch that uses it may
+                use_running_average=not train, dtype=dtype,  # build it
+                name="stem_bn", epsilon=1e-3, momentum=0.99,
+            )
+
+        if self._fused_stem_active(x, train) and train:
+            from crnn_ocr_tpu.kernels.fused_stem_train import (
+                fused_stem_train_dispatch,
+            )
+
+            # The conv dummy call creates the identical "stem_conv" param;
+            # its result is DCE'd. _StemBNState owns "stem_bn" (same tree
+            # as nn.BatchNorm) and applies the running-stat update below.
+            _ = stem_conv(jnp.zeros((1, 3, 3, 1), dtype))
+            bn_state = _StemBNState(cfg.stem_filters, name="stem_bn")
+            scale, bias, _, _ = bn_state()
+            x, b_mean, b_var = fused_stem_train_dispatch(
+                x, stem_conv.variables["params"]["kernel"], scale, bias,
+                eps=1e-3, bf16=cfg.dtype == "bfloat16",
+                mesh=self.mesh, interpret=self.pallas_interpret,
+            )
+            bn_state(
+                jax.lax.stop_gradient(b_mean),
+                jax.lax.stop_gradient(b_var),
+            )
+        elif self._fused_stem_active(x, train):
             from crnn_ocr_tpu.kernels.fused_stem import fused_stem_dispatch
 
             # Dummy calls create the identical param/batch_stats tree; the
             # results are unused and DCE'd by XLA. The kernel then reads
             # the bound children's variables directly.
             _ = stem_conv(jnp.zeros((1, 3, 3, 1), dtype))
+            stem_bn = make_bn()
             _ = stem_bn(jnp.zeros((1, 1, 1, cfg.stem_filters), dtype))
             x = fused_stem_dispatch(
                 x,
@@ -208,7 +277,7 @@ class CRNN(nn.Module):
             )
         else:
             x = stem_conv(x)
-            x = stem_bn(x)
+            x = make_bn()(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
 

@@ -514,3 +514,118 @@ def test_crnn_serve_with_fused_stem_matches_xla_path():
     assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(
         variables
     )
+
+
+def test_fused_stem_train_matches_xla_reference():
+    """fused_stem_train (interpret, f32): pooled/stats forward AND
+    (d_w, d_gamma, d_beta) vs jax.grad of the XLA conv+batchBN+relu+pool
+    — including first-max pool tie routing at relu zeros."""
+    from crnn_ocr_tpu.kernels.fused_stem_train import fused_stem_train
+
+    rng = np.random.default_rng(12)
+    B, H, W, C = 4, 32, 48, 8  # smallest supported width: interpret is slow
+    img = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float32))
+    conv_w = jnp.asarray(
+        rng.normal(size=(3, 3, 1, C)).astype(np.float32) * 0.3
+    )
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, C).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    EPS = 1e-3
+
+    def xla_ref(img, cw, g_, b_):
+        y = jax.lax.conv_general_dilated(
+            img, cw, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        mean = jnp.mean(y, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(y), axis=(0, 1, 2)) - mean * mean
+        xh = (y - mean) * jax.lax.rsqrt(var + EPS)
+        act = jnp.maximum(xh * g_ + b_, 0.0)
+        p = jax.lax.reduce_window(
+            act, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+            "VALID",
+        )
+        return p, mean, var
+
+    p_ref, m_ref, v_ref = xla_ref(img, conv_w, gamma, beta)
+    p_got, m_got, v_got = fused_stem_train(
+        img, conv_w, gamma, beta, EPS, False, True, None
+    )
+    np.testing.assert_allclose(np.asarray(m_got), np.asarray(m_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_got, np.float32),
+                               np.asarray(p_ref), rtol=1e-5, atol=1e-5)
+
+    def loss_ref(cw, g_, b_):
+        p, _, _ = xla_ref(img, cw, g_, b_)
+        return jnp.sum(jnp.sin(p * 1.7))
+
+    def loss_fused(cw, g_, b_):
+        p, _, _ = fused_stem_train(img, cw, g_, b_, EPS, False, True, None)
+        return jnp.sum(jnp.sin(p.astype(jnp.float32) * 1.7))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(conv_w, gamma, beta)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(conv_w, gamma, beta)
+    for a, b in zip(gf, gr):
+        # d_w entries are O(60) sums with different f32 accumulation
+        # order (band matmul vs conv transpose) -> ~1e-3 relative slack
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=5e-4)
+
+
+def test_crnn_train_step_with_fused_stem_matches_xla_path():
+    """Full CRNN f32 train forward+backward+batch_stats: fused stem
+    (interpret) == XLA stem at tight tolerance."""
+    import dataclasses
+
+    from crnn_ocr_tpu.models import CRNN, ModelConfig
+
+    cfg0 = ModelConfig(
+        num_classes=11, width=48, stem_filters=8,
+        block_filters=(16, 16, 24, 24), time_dense_size=16, n_units=16,
+        rnn_layers=1, dropout_rate=0.0, use_fused_stem=False,
+    )
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(4, 32, 48, 1)).astype(np.float32))
+
+    model_ref = CRNN(cfg=cfg0)
+    variables = model_ref.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x, train=False,
+    )
+    model_fused = CRNN(
+        cfg=dataclasses.replace(cfg0, use_fused_stem=True),
+        pallas_interpret=True,
+    )
+
+    def loss_fn(model):
+        def f(params, bs):
+            out, upd = model.apply(
+                {"params": params, "batch_stats": bs}, x, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(3)},
+            )
+            return jnp.sum(jnp.square(out)), upd["batch_stats"]
+
+        return f
+
+    (l_r, bs_r), g_r = jax.value_and_grad(loss_fn(model_ref),
+                                          has_aux=True)(
+        variables["params"], variables["batch_stats"]
+    )
+    (l_f, bs_f), g_f = jax.value_and_grad(loss_fn(model_fused),
+                                          has_aux=True)(
+        variables["params"], variables["batch_stats"]
+    )
+    np.testing.assert_allclose(float(l_f), float(l_r), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(bs_f),
+                    jax.tree_util.tree_leaves(bs_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)

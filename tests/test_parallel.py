@@ -378,3 +378,52 @@ def test_pallas_grid_sample_shard_map_matches_banded():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_b),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_stem_train_shard_map_sync_bn():
+    """fused_stem_train under a multi-device mesh: per-shard kernels with
+    psum'd statistics must reproduce the single-device batch stats,
+    pooled output, and parameter gradients (exact sync-BN)."""
+    from crnn_ocr_tpu.kernels.fused_stem_train import (
+        fused_stem_train,
+        fused_stem_train_dispatch,
+    )
+
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(17)
+    B, H, W, C = 8, 32, 48, 8  # small width: interpret mode is slow
+    img = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float32))
+    conv_w = jnp.asarray(
+        rng.normal(size=(3, 3, 1, C)).astype(np.float32) * 0.3
+    )
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, C).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+
+    def loss_mesh(cw, g_, b_):
+        p, m, v = fused_stem_train_dispatch(
+            img, cw, g_, b_, mesh=mesh, bf16=False, interpret=True
+        )
+        return jnp.sum(jnp.sin(p * 1.3)), (p, m, v)
+
+    def loss_single(cw, g_, b_):
+        p, m, v = fused_stem_train(img, cw, g_, b_, 1e-3, False, True,
+                                   None)
+        return jnp.sum(jnp.sin(p * 1.3)), (p, m, v)
+
+    (lm, (pm, mm, vm)), gm = jax.value_and_grad(
+        loss_mesh, argnums=(0, 1, 2), has_aux=True
+    )(conv_w, gamma, beta)
+    (ls, (ps, ms, vs)), gs = jax.value_and_grad(
+        loss_single, argnums=(0, 1, 2), has_aux=True
+    )(conv_w, gamma, beta)
+    np.testing.assert_allclose(float(lm), float(ls), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(ms),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vm), np.asarray(vs),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pm, np.float32),
+                               np.asarray(ps, np.float32),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(gm, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
