@@ -389,9 +389,9 @@ def test_fused_stem_train_shard_map_sync_bn():
         fused_stem_train_dispatch,
     )
 
-    mesh = make_mesh(4)
-    rng = np.random.default_rng(17)
-    B, H, W, C = 8, 32, 48, 8  # small width: interpret mode is slow
+    mesh = make_mesh(2)  # 2 shards exercise the same psum math; interpret
+    rng = np.random.default_rng(17)  # mode is slow enough at 4+
+    B, H, W, C = 4, 32, 48, 8
     img = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float32))
     conv_w = jnp.asarray(
         rng.normal(size=(3, 3, 1, C)).astype(np.float32) * 0.3
