@@ -215,12 +215,15 @@ def fused_stem_default() -> bool:
 def fused_stem_dispatch(
     img, conv_w, bn_gamma, bn_beta, bn_mean, bn_var,
     mesh=None, interpret: bool = False, out_dtype=jnp.bfloat16,
+    bf16: bool = True,
 ):
     """fused_stem_serve, per shard via shard_map on multi-device meshes
     (batch is the only sharded axis — same dispatch as the grid sampler's
-    ops.grid_sample.grid_sample_affine)."""
+    ops.grid_sample.grid_sample_affine). ``bf16=False`` keeps the conv
+    matmuls in f32 (Precision.HIGHEST) for f32 serving configs."""
     call = functools.partial(
-        fused_stem_serve, interpret=interpret, out_dtype=out_dtype
+        fused_stem_serve, interpret=interpret, out_dtype=out_dtype,
+        bf16=bf16,
     )
     if mesh is not None and mesh.size > 1:
         from jax.sharding import PartitionSpec as P

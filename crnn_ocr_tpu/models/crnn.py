@@ -273,7 +273,7 @@ class CRNN(nn.Module):
                 stem_bn.variables["batch_stats"]["mean"],
                 stem_bn.variables["batch_stats"]["var"],
                 mesh=self.mesh, interpret=self.pallas_interpret,
-                out_dtype=dtype,
+                out_dtype=dtype, bf16=cfg.dtype == "bfloat16",
             )
         else:
             x = stem_conv(x)

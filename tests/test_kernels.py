@@ -480,6 +480,41 @@ def test_fused_stem_odd_batch_and_wide():
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
 
 
+def test_fused_stem_serve_f32_precision():
+    """bf16=False keeps the conv matmuls in f32 (Precision.HIGHEST):
+    parity with the XLA stem at f32 tolerance, not bf16's 2e-2."""
+    from crnn_ocr_tpu.kernels.fused_stem import fused_stem_serve
+
+    rng = np.random.default_rng(21)
+    B, H, W, C = 2, 32, 48, 8
+    img = jnp.asarray(rng.normal(size=(B, H, W, 1)).astype(np.float32))
+    conv_w = jnp.asarray(
+        rng.normal(size=(3, 3, 1, C)).astype(np.float32) * 0.2
+    )
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, C).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    mean = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    var = jnp.asarray(rng.uniform(0.5, 2.0, C).astype(np.float32))
+
+    got = np.asarray(
+        fused_stem_serve(img, conv_w, gamma, beta, mean, var,
+                         interpret=True, out_dtype=jnp.float32,
+                         bf16=False)
+    )
+    # f32 XLA reference (_xla_stem_ref is the bf16-mode one)
+    y = jax.lax.conv_general_dilated(
+        img, conv_w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    inv = gamma / jnp.sqrt(var + 1e-3)
+    y = jnp.maximum(y * inv + (beta - mean * inv), 0.0)
+    ref = np.asarray(jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_crnn_serve_with_fused_stem_matches_xla_path():
     """Full CRNN bf16 serve forward, fused stem (interpret) vs XLA stem."""
     import dataclasses
