@@ -206,7 +206,14 @@ class Predictor:
 def init_predictor(model_dir: str, **kw) -> Predictor:
     """Reference-parity loader: rebuilds the inference model from saved
     artifacts (orbax checkpoint + model_config.json + classes.json), the
-    TPU-native analog of model_from_json + load_weights + pickle (C8)."""
+    TPU-native analog of model_from_json + load_weights + pickle (C8).
+
+    A directory holding REFERENCE artifacts instead (Keras .h5 weights +
+    optional architecture JSON + classes.pkl) loads transparently via
+    infer.keras_json.load_reference_model — reference users can point
+    this at their existing model dir with no conversion step."""
+    import os
+
     import jax
 
     from crnn_ocr_tpu.train.checkpoint import (
@@ -215,6 +222,23 @@ def init_predictor(model_dir: str, **kw) -> Predictor:
         load_model_config,
     )
     from crnn_ocr_tpu.train.state import create_train_state
+
+    if not os.path.exists(
+        os.path.join(model_dir, "model_config.json")
+    ) and any(n.endswith(".h5") for n in os.listdir(model_dir)):
+        from crnn_ocr_tpu.infer.keras_json import load_reference_model
+        from crnn_ocr_tpu.models import resolve_runtime_flags
+
+        cfg, params, batch_stats, codec = load_reference_model(model_dir)
+        if codec is None:
+            raise FileNotFoundError(
+                f"{model_dir}: reference .h5 found but no class map "
+                "(classes.pkl / classes.json)"
+            )
+        cfg = resolve_runtime_flags(
+            dataclasses.replace(cfg, use_pallas_rnn=None)
+        )
+        return Predictor(cfg, params, batch_stats, codec, **kw)
 
     cfg = load_model_config(model_dir)
     # use_pallas_rnn is a runtime knob (params identical either way): don't

@@ -61,10 +61,11 @@ class ModelConfig:
     # resolve_runtime_flags at model-build time). This is a runtime knob,
     # not architecture — params are identical either way.
     use_pallas_rnn: "bool | None" = None
-    # Fused Pallas serve-stem (kernels/fused_stem.py): conv+BN+ReLU+pool in
-    # one VMEM-resident kernel, inference only (train-mode BN needs the
-    # full-res activation). None = auto: on for TPU backends when the
-    # compute dtype is bfloat16 (the kernel's conv operands are bf16).
+    # Fused Pallas stem (kernels/fused_stem.py serve kernel; train-mode
+    # fwd+bwd pair in kernels/fused_stem_train.py): conv+BN+ReLU+pool
+    # without materializing the full-res activation in HBM. None = auto:
+    # on for TPU backends at B>=128, W<=128 (shape-profiled; serve
+    # additionally requires bf16 compute, train additionally non-STN).
     # Runtime knob — params are identical either way.
     use_fused_stem: "bool | None" = None
 

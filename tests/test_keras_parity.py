@@ -199,3 +199,51 @@ def test_reference_artifact_migration_zero_config(variant):
     assert cfg2.block_filters == cfg1.block_filters
     assert cfg2.n_units == cfg1.n_units
     assert cfg2.use_stn == cfg1.use_stn
+
+
+def test_migrate_cli_roundtrip(tmp_path, monkeypatch):
+    """crnn-ocr-migrate import -> predictor-loadable TPU model dir ->
+    export -> reference-style artifacts that re-import identically; and
+    init_predictor on the RAW reference dir (no conversion step)."""
+    mig = GOLDENS / "migration_autonamed"
+    if not mig.exists():
+        pytest.skip("run tools/gen_keras_parity.py")
+    import crnn_ocr_tpu.cli.migrate as migrate
+    from crnn_ocr_tpu.infer import init_predictor
+    from crnn_ocr_tpu.infer.keras_json import load_reference_model
+
+    # keep the test hermetic: arch-JSON export needs tf_keras (the
+    # builder itself is oracle-covered by tools/gen_keras_parity.py)
+    monkeypatch.setattr(migrate, "_write_arch_json", lambda cfg, p: False)
+
+    dest = tmp_path / "tpu_model"
+    assert migrate.main(["import", "--src", str(mig),
+                         "--dest", str(dest)]) == 0
+
+    data = np.load(mig / "io.npz")
+    x, y_keras = data["x"], data["y"]
+
+    def probs_of(pred):
+        m = CRNN(cfg=pred.cfg)
+        logits = m.apply(pred._vars, x, train=False)
+        return np.asarray(jax.nn.softmax(logits, axis=-1))
+
+    pred = init_predictor(str(dest))  # converted dir
+    np.testing.assert_allclose(probs_of(pred), y_keras,
+                               rtol=1e-4, atol=2e-5)
+
+    pred_raw = init_predictor(str(mig))  # raw reference dir, no convert
+    np.testing.assert_allclose(probs_of(pred_raw), y_keras,
+                               rtol=1e-4, atol=2e-5)
+
+    out = tmp_path / "ref_out"
+    assert migrate.main(["export", "--src", str(dest),
+                         "--dest", str(out)]) == 0
+    assert (out / "classes.pkl").exists()
+    cfg3, params3, stats3, codec3 = load_reference_model(str(out))
+    assert codec3 is not None and codec3.num_classes == pred.cfg.num_classes
+    m3 = CRNN(cfg=cfg3)
+    y3 = np.asarray(jax.nn.softmax(
+        m3.apply({"params": params3, "batch_stats": stats3}, x,
+                 train=False), axis=-1))
+    np.testing.assert_allclose(y3, y_keras, rtol=1e-4, atol=2e-5)
