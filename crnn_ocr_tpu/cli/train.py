@@ -180,6 +180,39 @@ def main(argv=None) -> int:
         ),
         n_shards=n_dev,
     )
+    if args.resume:
+        import dataclasses as _dc
+        import os as _os
+
+        cfg_path = _os.path.join(args.save_path, "model_config.json")
+        if _os.path.exists(cfg_path):
+            # The checkpoint pins the architecture (incl. migrated
+            # reference models, whose shapes the flag defaults won't
+            # match); CLI architecture flags only name the FRESH case.
+            from crnn_ocr_tpu.train.checkpoint import load_model_config
+
+            saved = load_model_config(args.save_path)
+            if saved.num_classes != codec.num_classes:
+                print(
+                    f"resume: checkpoint has {saved.num_classes} classes "
+                    f"but the dataset codec has {codec.num_classes}",
+                    file=sys.stderr,
+                )
+                return 2
+            adopted = resolve_runtime_flags(
+                _dc.replace(
+                    saved, dtype=args.dtype, use_pallas_rnn=None,
+                    use_fused_stem=None,
+                ),
+                n_shards=n_dev,
+            )
+            if adopted != cfg:
+                print(
+                    "resume: using architecture from the checkpoint's "
+                    "model_config.json (CLI architecture flags ignored)",
+                    file=sys.stderr,
+                )
+            cfg = adopted
     mesh = None
     if n_dev > 1:
         from crnn_ocr_tpu.parallel import make_mesh

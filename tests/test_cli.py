@@ -81,9 +81,9 @@ def test_train_then_predict_cli(dataset_dir, tmp_path, capsys):
             "--steps", "12",
             "--eval_every", "100",
             "--batch_size", "8",
-            "--n_units", "16",
-            "--time_dense_size", "16",
-            "--rnn_layers", "1",
+            # NO architecture flags: --resume must adopt n_units=16 etc.
+            # from the checkpoint's model_config.json (defaults would
+            # otherwise build a 256-unit model and fail the restore)
             "--val_fraction", "0.25",
             "--save_path", model_dir,
             "--lr_schedule", "cosine",  # resume needs matching optimizer cfg
