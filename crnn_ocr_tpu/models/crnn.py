@@ -88,6 +88,27 @@ class ModelConfig:
         return (width or self.width) // self.width_downsample
 
 
+_stem_path_logged: set = set()
+
+
+def _log_stem_path(train: bool, shape, on: bool) -> None:
+    """Once-per-(mode, shape, decision) kernel-path note, mirroring the
+    rnn/ctc path logs — runs at trace time (the gate is static)."""
+    import sys as _sys
+
+    key = (train, tuple(shape), on)
+    if key in _stem_path_logged:
+        return
+    _stem_path_logged.add(key)
+    mode = "train" if train else "serve"
+    path = "pallas fused" if on else "xla"
+    print(
+        f"[crnn_ocr_tpu] stem path ({mode}, B={shape[0]}, W={shape[2]}): "
+        f"{path}",
+        file=_sys.stderr,
+    )
+
+
 class DepthwiseSeparableBlock(nn.Module):
     """DepthwiseConv3x3 + pointwise 1x1 + BN + ReLU + pool + dropout (C14)."""
 
@@ -184,6 +205,11 @@ class CRNN(nn.Module):
         image is a gradient leaf. Serving auto-on requires bf16 (the
         kernel's conv operands are bf16 there); training runs either dtype
         (f32 uses Precision.HIGHEST matmuls)."""
+        on = self._fused_stem_decision(x, train)
+        _log_stem_path(train, x.shape, on)
+        return on
+
+    def _fused_stem_decision(self, x, train: bool) -> bool:
         from crnn_ocr_tpu.kernels.fused_stem import (
             fused_stem_default,
             stem_supported,
