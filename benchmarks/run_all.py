@@ -341,6 +341,11 @@ def main() -> int:
         "train_step_b128_bf16",
         dataclasses.replace(base_cfg, dtype="bfloat16"),
     )
+    # A/B for the train-mode fused Pallas stem (auto-on at this shape)
+    train_bench(
+        "train_step_b128_noFusedStem",
+        dataclasses.replace(base_cfg, use_fused_stem=False),
+    )
 
     # Always merge: subprocess-delegated configs (beamBig/beamSharp) wrote
     # their rows into results.json before this final write.

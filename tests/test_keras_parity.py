@@ -201,11 +201,12 @@ def test_reference_artifact_migration_zero_config(variant):
     assert cfg2.use_stn == cfg1.use_stn
 
 
-def test_migrate_cli_roundtrip(tmp_path, monkeypatch):
+@pytest.mark.parametrize("variant", ["autonamed", "autonamed_stn"])
+def test_migrate_cli_roundtrip(tmp_path, monkeypatch, variant):
     """crnn-ocr-migrate import -> predictor-loadable TPU model dir ->
     export -> reference-style artifacts that re-import identically; and
     init_predictor on the RAW reference dir (no conversion step)."""
-    mig = GOLDENS / "migration_autonamed"
+    mig = GOLDENS / f"migration_{variant}"
     if not mig.exists():
         pytest.skip("run tools/gen_keras_parity.py")
     import crnn_ocr_tpu.cli.migrate as migrate
