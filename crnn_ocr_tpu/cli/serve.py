@@ -1,0 +1,98 @@
+"""Serving CLI: run a resident OCR daemon on the TPU.
+
+The reference stops at a batch predict script (SURVEY.md C11,
+``predict.py``); this is the production counterpart — load once, compile
+every (batch-ladder, bucket) program up front, then serve concurrent HTTP
+requests through the dynamic micro-batcher (L4 serving analog).
+
+Examples:
+  python -m crnn_ocr_tpu.cli.serve --model /tmp/model --port 8000
+  python -m crnn_ocr_tpu.cli.serve --pretrained fonts-small \
+      --max_batch 64 --max_wait_ms 3 --beam_width 10
+
+  curl -s -X POST --data-binary @word.png localhost:8000/predict
+  curl -s localhost:8000/stats
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", help="saved model directory")
+    p.add_argument("--pretrained", help="bundled pretrained model name")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_batch", type=int, default=32,
+                   help="largest coalesced device batch")
+    p.add_argument("--max_wait_ms", type=float, default=5.0,
+                   help="batching window after the first queued request")
+    p.add_argument("--beam_width", type=int, default=0,
+                   help="0 = greedy decode; >0 = on-device TF-exact beam")
+    p.add_argument("--top_paths", type=int, default=1)
+    p.add_argument("--no-norm", dest="norm", action="store_false")
+    p.add_argument("--no-warmup", dest="warmup", action="store_false",
+                   help="skip ahead-of-time compilation of all programs")
+    p.add_argument("--request_timeout_s", type=float, default=30.0)
+    p.add_argument("--verbose", action="store_true",
+                   help="log each HTTP request")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from crnn_ocr_tpu.infer import init_predictor, load_pretrained
+    from crnn_ocr_tpu.serve import OCRServer
+
+    if args.pretrained:
+        predictor = load_pretrained(args.pretrained, normalize=args.norm)
+    elif args.model:
+        predictor = init_predictor(args.model, normalize=args.norm)
+    else:
+        print("one of --model / --pretrained is required", file=sys.stderr)
+        return 2
+
+    decode_kw = (
+        {"greedy": False, "beam_width": args.beam_width,
+         "top_paths": args.top_paths}
+        if args.beam_width > 0
+        else {"greedy": True}
+    )
+    server = OCRServer(
+        predictor,
+        host=args.host,
+        port=args.port,
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        decode_kw=decode_kw,
+        request_timeout_s=args.request_timeout_s,
+        quiet=not args.verbose,
+    )
+    if args.warmup:
+        print(
+            f"warmup: compiling {len(server.batcher.ladder)} batch sizes x "
+            f"{len(predictor.buckets)} buckets ...",
+            flush=True,
+        )
+        server.batcher.warmup()
+    mode = "greedy" if decode_kw.get("greedy") else (
+        f"beam{args.beam_width}"
+    )
+    print(
+        f"serving on {args.host}:{server.port} "
+        f"(decode={mode}, max_batch={args.max_batch}, "
+        f"window={args.max_wait_ms}ms)",
+        flush=True,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

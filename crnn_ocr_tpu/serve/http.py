@@ -1,0 +1,170 @@
+"""HTTP serving front-end for the dynamic batcher.
+
+The reference ships no server — its deployment story is "call predict.py"
+(SURVEY.md C11). For production TPU serving the economics invert: a chip
+amortises over many concurrent callers, so the unit of deployment is a
+daemon. This is a dependency-free stdlib server (``http.server`` +
+``ThreadingHTTPServer``): each request thread decodes its own image bytes
+on the host, submits to the shared :class:`DynamicBatcher`, and blocks on
+its Future while the single device thread runs coalesced batches.
+
+Endpoints:
+  * ``POST /predict`` — body = encoded image (PNG/JPEG/BMP/…, anything
+    cv2 decodes) or a raw ``.npy`` grayscale array. Returns JSON
+    ``{"text", "score", "candidates"?}``.
+  * ``GET /healthz`` — liveness: ``{"ok": true}``.
+  * ``GET /stats``   — batcher counters + latency percentiles.
+
+Deliberately NOT async-io: device work is serialized on one worker thread
+anyway (one TPU process, one in-flight program), so a thread per in-flight
+HTTP request is cheap and keeps the code debuggable.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from crnn_ocr_tpu.serve.batcher import DynamicBatcher
+
+_NPY_MAGIC = b"\x93NUMPY"
+
+
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    """Decode request bytes to a grayscale uint8 HxW array.
+
+    ``.npy`` payloads skip the codec entirely (fast path for in-datacenter
+    callers); anything else goes through cv2's image codecs, matching the
+    training pipeline's reader (SURVEY.md C18)."""
+    if data[: len(_NPY_MAGIC)] == _NPY_MAGIC:
+        arr = np.load(io.BytesIO(data), allow_pickle=False)
+        if arr.ndim == 3:
+            arr = arr.mean(axis=-1)
+        return np.ascontiguousarray(arr.astype(np.uint8))
+    import cv2
+
+    arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_GRAYSCALE)
+    if arr is None:
+        raise ValueError("undecodable image payload")
+    return arr
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "crnn-ocr-tpu/1"
+    # set by OCRServer:
+    batcher: DynamicBatcher
+    request_timeout_s: float
+    quiet: bool
+
+    def log_message(self, fmt, *args):  # noqa: D102 — silence default spam
+        if not self.quiet:
+            super().log_message(fmt, *args)
+
+    def _reply(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 — http.server API
+        if self.path == "/healthz":
+            self._reply(200, {"ok": True})
+        elif self.path == "/stats":
+            self._reply(200, self.batcher.stats.snapshot())
+        else:
+            self._reply(404, {"error": f"no such route: {self.path}"})
+
+    def do_POST(self):  # noqa: N802 — http.server API
+        if self.path != "/predict":
+            self._reply(404, {"error": f"no such route: {self.path}"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            if n <= 0:
+                raise ValueError("empty body")
+            image = decode_image_bytes(self.rfile.read(n))
+        except Exception as e:  # noqa: BLE001 — client error, report it
+            self._reply(400, {"error": str(e)})
+            return
+        try:
+            pred = self.batcher.predict_sync(
+                image, timeout=self.request_timeout_s
+            )
+        except Exception as e:  # noqa: BLE001 — surfaced as 5xx
+            self._reply(503, {"error": str(e)})
+            return
+        out = {"text": pred.text, "score": pred.score}
+        if pred.candidates:
+            out["candidates"] = [
+                {"text": t, "score": s} for t, s in pred.candidates
+            ]
+        self._reply(200, out)
+
+
+class OCRServer:
+    """Own the HTTP listener + batcher pair; supports in-process tests
+    (``start()``/``stop()``) and blocking CLI use (``serve_forever()``)."""
+
+    def __init__(
+        self,
+        predictor,
+        host: str = "0.0.0.0",
+        port: int = 8000,
+        max_batch: int = 32,
+        max_wait_ms: float = 5.0,
+        decode_kw: Optional[dict] = None,
+        request_timeout_s: float = 30.0,
+        quiet: bool = True,
+    ):
+        self.batcher = DynamicBatcher(
+            predictor,
+            max_batch=max_batch,
+            max_wait_ms=max_wait_ms,
+            decode_kw=decode_kw,
+        )
+        handler = type(
+            "BoundHandler",
+            (_Handler,),
+            {
+                "batcher": self.batcher,
+                "request_timeout_s": request_timeout_s,
+                "quiet": quiet,
+            },
+        )
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd.daemon_threads = True
+        self._serve_thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self) -> "OCRServer":
+        self.batcher.start()
+        self._serve_thread = threading.Thread(
+            target=self.httpd.serve_forever, name="ocr-http", daemon=True
+        )
+        self._serve_thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        self.batcher.start()
+        try:
+            self.httpd.serve_forever()
+        finally:
+            self.batcher.stop(drain=False)
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._serve_thread is not None:
+            self._serve_thread.join(timeout=30)
+            self._serve_thread = None
+        self.batcher.stop(drain=False)
