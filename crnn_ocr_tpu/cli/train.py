@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(tensorboard --logdir <dir>, profile plugin)")
     p.add_argument("--tensorboard_dir",
                    help="stream scalars to tensorboard (SURVEY.md §5.5)")
+    p.add_argument("--on_device_cer", action="store_true",
+                   help="eval CER via the batched Levenshtein DP on the "
+                        "accelerator (ops/editdistance.py) instead of host "
+                        "text edit distance — same value, no per-line "
+                        "host decode")
     return p
 
 
@@ -266,6 +271,7 @@ def main(argv=None) -> int:
         mesh=mesh,
         tensorboard_dir=args.tensorboard_dir,
         profile_dir=args.profile_dir,
+        on_device_cer=args.on_device_cer,
     )
     fit(
         state,

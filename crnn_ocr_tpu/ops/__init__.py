@@ -1,4 +1,8 @@
-from crnn_ocr_tpu.ops import ctc, grid_sample, preprocess
+from crnn_ocr_tpu.ops import ctc, editdistance, grid_sample, preprocess
+from crnn_ocr_tpu.ops.editdistance import (
+    batched_levenshtein,
+    cer_sums_on_device,
+)
 from crnn_ocr_tpu.ops.ctc import (
     ctc_batch_cost,
     ctc_beam_search_decode,
@@ -19,8 +23,11 @@ from crnn_ocr_tpu.ops.preprocess import (
 
 __all__ = [
     "affine_grid",
+    "batched_levenshtein",
     "bilinear_sample",
+    "cer_sums_on_device",
     "ctc",
+    "editdistance",
     "ctc_batch_cost",
     "ctc_beam_search_decode",
     "ctc_decode",

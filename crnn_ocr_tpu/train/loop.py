@@ -42,6 +42,7 @@ class FitConfig:
     profile_dir: Optional[str] = None  # xplane trace dir (SURVEY.md §5.1)
     profile_at: int = 5  # trace starts this many steps in (skip compiles)
     profile_steps: int = 20  # steps captured in the trace
+    on_device_cer: bool = False  # batched Levenshtein DP on the accelerator
 
 
 def fit(
@@ -153,7 +154,7 @@ def fit(
         if eval_iter_fn and gstep % cfg.eval_every == 0:
             ev = evaluate(
                 state, eval_step, eval_iter_fn(), codec, cfg.eval_batches,
-                mesh=cfg.mesh,
+                mesh=cfg.mesh, on_device_cer=cfg.on_device_cer,
             )
             ev["step"] = gstep
             print(
@@ -195,8 +196,20 @@ def evaluate(
     codec: Optional[LabelCodec],
     max_batches: int = 8,
     mesh=None,
+    on_device_cer: bool = False,
 ) -> Dict[str, float]:
+    """Validation pass: loss + greedy-decode CER/WER/seq-acc.
+
+    ``on_device_cer=True`` computes CER with the batched Levenshtein DP on
+    the accelerator (``ops.editdistance``) instead of host text edit
+    distance — same value (label<->char map is a bijection), no per-line
+    host decode; it is also the automatic fallback when no codec/texts are
+    available (label-space CER instead of the old NaN)."""
     losses, preds, refs = [], [], []
+    dist_sum = 0
+    ref_len_sum = 0
+    device_batches = 0
+    device_cer_ok = True
     for j, batch in enumerate(eval_iter):
         if j >= max_batches:
             break
@@ -216,6 +229,25 @@ def evaluate(
             batch = mesh_lib.shard_batch(batch, mesh)
         loss_vec, decoded = eval_step(state, batch)
         losses.append(np.asarray(loss_vec)[:n_lines])
+        want_device_cer = on_device_cer or texts is None or codec is None
+        if want_device_cer and "the_labels" in batch:
+            from crnn_ocr_tpu.ops import editdistance as ed
+
+            dec_len = (np.asarray(decoded) >= 0).sum(axis=1)
+            d = np.asarray(
+                ed.batched_levenshtein(
+                    decoded,
+                    dec_len,
+                    batch["the_labels"],
+                    batch["label_length"],
+                )
+            )[:n_lines]
+            ref_l = np.asarray(batch["label_length"]).reshape(-1)[:n_lines]
+            dist_sum += int(d.sum())
+            ref_len_sum += int(ref_l.sum())
+            device_batches += 1
+        else:
+            device_cer_ok = False
         if codec is not None and texts is not None:
             rows = ctc.trim_dense(decoded)[:n_lines]
             for row, ref in zip(rows, texts):
@@ -223,9 +255,16 @@ def evaluate(
                 refs.append(ref)
     out = {"loss": float(np.mean(np.concatenate(losses)))}
     if refs:
-        out["cer"] = metrics_lib.cer(preds, refs)
         out["wer"] = metrics_lib.wer(preds, refs)
         out["seq_acc"] = metrics_lib.sequence_accuracy(preds, refs)
+        out["cer"] = (
+            dist_sum / max(ref_len_sum, 1)
+            if (on_device_cer and device_cer_ok)
+            else metrics_lib.cer(preds, refs)
+        )
+    elif device_cer_ok and device_batches > 0:
+        out["cer"] = dist_sum / max(ref_len_sum, 1)
+        out.update({"wer": float("nan"), "seq_acc": float("nan")})
     else:
         out.update({"cer": float("nan"), "wer": float("nan"), "seq_acc": float("nan")})
     return out
