@@ -291,6 +291,34 @@ def main() -> int:
         print("beam10_decoder_sharp_b32", rec, file=sys.stderr)
     if want("noPallas"):
         serving_bench("greedy_b256_w128_noPallas", 256, 128, use_pallas=False)
+    if want("editdistance"):
+        # on-device eval CER: batched anti-diagonal Levenshtein vs the host
+        # per-pair DP loop (the reference's editdistance package model).
+        from crnn_ocr_tpu.ops.editdistance import batched_levenshtein
+        from crnn_ocr_tpu.utils import metrics as metrics_lib
+
+        B, La, Lb, K = 1024, 30, 16, 32
+        a = rng.integers(0, 60, (K, B, La)).astype(np.int32)
+        b = rng.integers(0, 60, (K, B, Lb)).astype(np.int32)
+        la = rng.integers(1, La + 1, (K, B)).astype(np.int32)
+        lb = rng.integers(1, Lb + 1, (K, B)).astype(np.int32)
+        varying = tuple(map(jax.device_put, (a, la, b, lb)))
+        step = _device_time(batched_levenshtein, (), varying, K=K)
+        t0 = time.perf_counter()
+        for i in range(B):
+            metrics_lib.levenshtein(
+                list(a[0, i, : la[0, i]]), list(b[0, i, : lb[0, i]])
+            )
+        host_s = time.perf_counter() - t0
+        rec = {
+            "batch": B,
+            "pairs_per_sec": round(B / step, 1),
+            "batch_ms": round(1e3 * step, 3),
+            "host_batch_ms": round(1e3 * host_s, 3),
+            "device_speedup": round(host_s / step, 1),
+        }
+        results["configs"]["editdistance_b1024"] = rec
+        print("editdistance_b1024", rec, file=sys.stderr)
 
     # config 5: training step throughput
     if only is not None and "train" not in only:

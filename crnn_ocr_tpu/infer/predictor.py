@@ -81,8 +81,12 @@ class Predictor:
     def predict_probs(
         self, images: Sequence[np.ndarray], bucket: Optional[int] = None
     ):
-        """images: list of grayscale uint8 arrays -> (probs, input_length)."""
-        canvas, hs, ws = pack_canvas(list(images))
+        """images: list of grayscale uint8 arrays -> (probs, input_length).
+
+        The raw canvas dims are snapped up a static shape ladder
+        (``preprocess.quantize_dim``) — a serving predictor sees arbitrary
+        image sizes, and every distinct canvas shape is a jit cache key."""
+        canvas, hs, ws = pack_canvas(list(images), quantize=True)
         if bucket is None:
             w_need = max(
                 int(round(w * self.cfg.height / h)) for h, w in zip(hs, ws)

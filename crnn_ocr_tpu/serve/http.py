@@ -108,6 +108,13 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply(200, out)
 
 
+class _Listener(ThreadingHTTPServer):
+    # socketserver's default listen backlog is 5 — request bursts beyond it
+    # get RST on a busy host. The whole point of this server is absorbing
+    # bursts into device batches, so size the backlog accordingly.
+    request_queue_size = 512
+
+
 class OCRServer:
     """Own the HTTP listener + batcher pair; supports in-process tests
     (``start()``/``stop()``) and blocking CLI use (``serve_forever()``)."""
@@ -138,7 +145,7 @@ class OCRServer:
                 "quiet": quiet,
             },
         )
-        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd = _Listener((host, port), handler)
         self.httpd.daemon_threads = True
         self._serve_thread: Optional[threading.Thread] = None
 

@@ -99,3 +99,37 @@ def test_augment_batch_shapes_and_determinism():
     assert float(np.abs(np.asarray(a3) - np.asarray(a1)).max()) > 1e-4
     # augmented stays finite, roughly same scale
     assert np.isfinite(np.asarray(a1)).all()
+
+
+def test_quantize_dim_ladder():
+    assert preprocess.quantize_dim(1) == 16
+    assert preprocess.quantize_dim(16) == 16
+    assert preprocess.quantize_dim(17) == 24
+    assert preprocess.quantize_dim(25) == 32
+    assert preprocess.quantize_dim(33) == 48
+    assert preprocess.quantize_dim(100) == 128
+    assert preprocess.quantize_dim(200) == 256
+    # ladder is monotone and bounded-waste (<= 50%)
+    prev = 0
+    for n in range(1, 2000, 7):
+        q = preprocess.quantize_dim(n)
+        assert q >= n and q <= max(16, int(n * 1.5) + 1)
+        assert q >= prev or n <= prev
+        prev = q
+
+
+def test_pack_canvas_quantize_is_numerically_inert():
+    """Quantized canvas padding must not change the preprocess output —
+    the serving predictor relies on this (jit cache bounding)."""
+    rng = np.random.default_rng(5)
+    images = [_rand_img(rng, 37, 101), _rand_img(rng, 20, 55)]
+    c1, h1, w1 = preprocess.pack_canvas(images)
+    c2, h2, w2 = preprocess.pack_canvas(images, quantize=True)
+    assert c2.shape[1] == 48 and c2.shape[2] == 128
+    np.testing.assert_array_equal(h1, h2)
+    x1, wn1 = preprocess.preprocess_batch(c1, h1, w1, out_h=32, out_w=128)
+    x2, wn2 = preprocess.preprocess_batch(c2, h2, w2, out_h=32, out_w=128)
+    np.testing.assert_array_equal(np.asarray(wn1), np.asarray(wn2))
+    np.testing.assert_allclose(
+        np.asarray(x1), np.asarray(x2), rtol=0, atol=1e-6
+    )
