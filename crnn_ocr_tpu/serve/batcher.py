@@ -51,6 +51,15 @@ class BatcherStats:
     latencies_ms: List[float] = field(default_factory=list)
     _max_kept: int = 4096
 
+    def record_batch(self, n: int, latencies_ms) -> None:
+        self.batch_sizes.append(n)
+        self.latencies_ms.extend(latencies_ms)
+        # rolling window: a resident daemon must not grow without bound
+        if len(self.latencies_ms) > 2 * self._max_kept:
+            del self.latencies_ms[: -self._max_kept]
+        if len(self.batch_sizes) > 2 * self._max_kept:
+            del self.batch_sizes[: -self._max_kept]
+
     def snapshot(self) -> dict:
         lat = np.asarray(self.latencies_ms[-self._max_kept:], np.float64)
         sizes = self.batch_sizes[-self._max_kept:]
@@ -213,8 +222,9 @@ class DynamicBatcher:
         self.stats.requests += n
         self.stats.batches += 1
         self.stats.padded_rows += padded - n
-        self.stats.batch_sizes.append(n)
+        self.stats.record_batch(
+            n, [(now - r.t_enqueue) * 1e3 for r in reqs]
+        )
         for r, p in zip(reqs, preds):
-            self.stats.latencies_ms.append((now - r.t_enqueue) * 1e3)
             if not r.future.cancelled():
                 r.future.set_result(p)

@@ -198,3 +198,16 @@ def test_serve_cli_parser_defaults():
     args = build_parser().parse_args(["--model", "/tmp/x", "--port", "0"])
     assert args.max_batch == 32 and args.beam_width == 0
     assert args.warmup and args.norm
+
+
+def test_batcher_stats_window_bounded():
+    from crnn_ocr_tpu.serve import BatcherStats
+
+    s = BatcherStats()
+    s._max_kept = 16
+    for i in range(100):
+        s.record_batch(2, [1.0, 2.0])
+    assert len(s.latencies_ms) <= 32
+    assert len(s.batch_sizes) <= 32
+    snap = s.snapshot()
+    assert snap["latency_ms_p50"] == 1.5
