@@ -87,10 +87,20 @@ def main(argv=None) -> int:
         f"window={args.max_wait_ms}ms)",
         flush=True,
     )
+    import signal
+    import threading
+
+    def _graceful(signum, frame):
+        # shutdown() must not run on the serve_forever thread (deadlock);
+        # pending requests drain through the batcher before exit.
+        threading.Thread(target=server.httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
+    print("shutting down", flush=True)
     return 0
 
 

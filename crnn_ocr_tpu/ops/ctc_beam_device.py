@@ -67,11 +67,14 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 KERAS_EPSILON = 1e-7
 NEG = -1e30
-HASH_P = jnp.uint32(1000003)
-ROOT_SENTINEL = jnp.uint32(0xFFFFFFFF)
+# np scalars, not jnp: module import must not initialize the JAX backend
+# (one TPU grant per host; imports can happen while another process holds it)
+HASH_P = np.uint32(1000003)
+ROOT_SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def _lse(a, b):

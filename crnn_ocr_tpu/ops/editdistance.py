@@ -27,7 +27,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.int32(1 << 29)
+# plain int (NOT a jnp scalar: that would initialize the backend at import
+# time — imports must stay device-free; one TPU grant per host)
+_BIG = 1 << 29
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -166,7 +166,8 @@ class OCRServer:
         try:
             self.httpd.serve_forever()
         finally:
-            self.batcher.stop(drain=False)
+            # graceful: in-flight/queued requests complete before exit
+            self.batcher.stop(drain=True)
 
     def stop(self) -> None:
         self.httpd.shutdown()
