@@ -404,7 +404,12 @@ def _bwd(eps, bf16, interpret, axis_name, res, cts):
     g_pooled = cts[0].astype(jnp.float32)  # mean/var cotangents ignored
     B, H, W, _ = img.shape
     C = conv_w.shape[-1]
-    G = _pick_group(B)
+    # Backward programs hold taps + the pooled-grad block + the unrolled
+    # z/xhat/dc intermediates: at G=8 (the forward's group) the compiler's
+    # scoped-VMEM stack hits 21-23 MB against the 16 MB limit on v5e
+    # (compile-time OOM, both dtypes; measured 2026-08-18). Half-size
+    # groups fit with room; the extra grid programs are noise at stem cost.
+    G = max(1, _pick_group(B) // 2)
     Wh = W // 2
     E, O = _planes(img)
     wb_f32 = _band_weights(conv_w, H)
