@@ -144,10 +144,11 @@ def main() -> int:
     rng = np.random.default_rng(0)
 
     def serving_bench(name, B, width, use_stn=False, beam=None,
-                      use_pallas=False, K=32, beam_exact=True, n_units=256):
+                      use_pallas=False, K=32, beam_exact=True, n_units=256,
+                      rnn_cell="gru"):
         cfg = ModelConfig(
             num_classes=80, width=width, dtype="bfloat16", use_stn=use_stn,
-            use_pallas_rnn=use_pallas, n_units=n_units,
+            use_pallas_rnn=use_pallas, n_units=n_units, rnn_cell=rnn_cell,
         )
         model = CRNN(cfg=cfg)
         raw = rng.integers(
@@ -229,6 +230,11 @@ def main() -> int:
         # scaled model family (7.1M params): MXU-width check at n_units=512
         serving_bench("greedy_b256_w128_units512", 256, 128,
                       use_pallas=True, n_units=512)
+    if want("lstm"):
+        # the reference's other RNN family (C4 GRU/LSTM choice): Pallas
+        # fused LSTM cell at serving shapes
+        serving_bench("greedy_b256_w128_lstm", 256, 128, use_pallas=True,
+                      rnn_cell="lstm")
     if want("stn"):
         serving_bench("stn_greedy_b256_w128", 256, 128, use_stn=True,
                       use_pallas=True)
