@@ -36,12 +36,23 @@ def pretrained_dir(name: str) -> str:
 
 
 def load_pretrained(name: str = "fonts-small", **kw) -> Predictor:
+    import dataclasses
+
+    from crnn_ocr_tpu.models import resolve_runtime_flags
+
     d = pretrained_dir(name)
     with open(os.path.join(d, "model_config.json")) as f:
         cfg_d = json.load(f)
     cfg_d["block_filters"] = tuple(cfg_d["block_filters"])
     cfg_d["block_pools"] = tuple(tuple(p) for p in cfg_d["block_pools"])
     cfg = ModelConfig(**cfg_d)
+    # runtime knobs (kernel paths) are per-process policy, not part of the
+    # artifact: ignore whatever backend the model was trained on (matches
+    # init_predictor) — without this, the bundled models never used the
+    # Pallas RNN on TPU (their configs serialize use_pallas_rnn=false).
+    cfg = resolve_runtime_flags(
+        dataclasses.replace(cfg, use_pallas_rnn=None, use_fused_stem=None)
+    )
     codec = LabelCodec.load(os.path.join(d, "classes.json"))
     params, batch_stats = import_keras_h5(
         os.path.join(d, "weights.h5"), cfg

@@ -32,3 +32,19 @@ def test_unknown_pretrained_name():
 
     with pytest.raises(KeyError):
         pretrained_dir("nope")
+
+
+def test_load_pretrained_reresolves_runtime_flags(monkeypatch):
+    import os
+    """The artifact's serialized kernel knobs (use_pallas_rnn=false from
+    whatever backend trained it) must be IGNORED: runtime paths are
+    per-process policy, exactly like init_predictor."""
+    import crnn_ocr_tpu.models.rnn as rnn_mod
+    from crnn_ocr_tpu.infer import load_pretrained, pretrained_dir
+
+    d = pretrained_dir("fonts-small")
+    if not os.path.exists(os.path.join(d, "weights.h5")):
+        pytest.skip("pretrained artifact not present")
+    monkeypatch.setattr(rnn_mod, "pallas_rnn_default", lambda: True)
+    pred = load_pretrained("fonts-small")
+    assert pred.cfg.use_pallas_rnn is True  # policy won over the JSON
