@@ -103,6 +103,12 @@ def main(argv=None) -> int:
     from crnn_ocr_tpu.models import ModelConfig
     from crnn_ocr_tpu.train import FitConfig, create_train_state, fit, param_count
 
+    if args.stn:
+        # The STN localization head flattens a width-dependent feature map
+        # (reference C5: Dense after conv/pool), so an STN model is bound
+        # to ONE input width. Train it at a single bucket; ModelConfig.width
+        # is pinned to it below.
+        args.buckets = [max(args.buckets)]
     if args.dataset in ("synthetic", "fonts"):
         if args.dataset == "fonts":
             from crnn_ocr_tpu.data import FontTextlines
@@ -111,7 +117,7 @@ def main(argv=None) -> int:
             bucket = max(args.buckets)
         else:
             synth = SyntheticTextlines(SyntheticConfig(augment=args.augment))
-            bucket = 128
+            bucket = min(128, max(args.buckets))
         codec = synth.codec
 
         def train_iter(skip=0):
@@ -175,6 +181,14 @@ def main(argv=None) -> int:
     cfg = resolve_runtime_flags(
         ModelConfig(
             num_classes=codec.num_classes,
+            # width = the widest batch this model will see. Conv/RNN params
+            # are width-agnostic, but the STN localization Dense is not —
+            # params MUST be initialized at the training bucket (C5).
+            width=(
+                bucket
+                if args.dataset in ("synthetic", "fonts")
+                else max(args.buckets)
+            ),
             n_units=args.n_units,
             time_dense_size=args.time_dense_size,
             rnn_cell=args.rnn,

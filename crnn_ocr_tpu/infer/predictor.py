@@ -53,7 +53,12 @@ class Predictor:
         self.cfg = model_cfg
         self.codec = codec
         self.normalize = normalize
-        self.buckets = tuple(buckets)
+        # An STN model's localization Dense is bound to the width it was
+        # trained at (reference C5: flatten -> Dense); other widths would
+        # fail at apply time. Serve it at its native bucket only.
+        self.buckets = (
+            (model_cfg.width,) if model_cfg.use_stn else tuple(buckets)
+        )
         self._model = CRNN(cfg=model_cfg)
         self._vars = {"params": params, "batch_stats": batch_stats}
         self._fwd = jax.jit(

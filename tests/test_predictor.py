@@ -119,3 +119,29 @@ def test_predict_many_bucket_grouping(saved_model):
     out = pred.predict_many(images, batch_size=2, timing=True)
     assert len(out) == len(images)
     assert all(p is not None and isinstance(p.text, str) for p in out)
+
+
+def test_stn_predictor_single_native_bucket(saved_model):
+    """An STN model's loc-Dense is width-bound (C5): the predictor must
+    route every request to the training bucket, narrow or wide."""
+    from crnn_ocr_tpu.train import create_train_state
+
+    _, synth = saved_model
+    cfg = ModelConfig(
+        num_classes=synth.codec.num_classes,
+        width=128,
+        stem_filters=8,
+        block_filters=(8, 8, 8, 8),
+        time_dense_size=8,
+        n_units=8,
+        rnn_layers=1,
+        use_stn=True,
+    )
+    state = create_train_state(cfg, jax.random.key(0))
+    pred = Predictor(cfg, state.params, state.batch_stats, synth.codec)
+    assert pred.buckets == (128,)
+    narrow = [np.full((32, 40), 255, np.uint8)]
+    wide = [np.full((32, 400), 255, np.uint8)]
+    for ims in (narrow, wide):
+        probs, _ = pred.predict_probs(ims)
+        assert probs.shape[1] == 128 // 4 - 2  # native bucket, not 64/256
