@@ -103,10 +103,18 @@ def _bwd_kernel(img_ref, x_ref, y_ref, g_ref, dimg_ref, dx_ref, dy_ref):
     dimg_ref[0] += dimg_part
 
 
-def _pick_chunk(n4: int, W: int) -> int:
-    """Largest divisor of the flat output size within the VMEM budget (the
-    (W, CHUNK) weight matrix dominates: cap it near 2-4 MB f32)."""
-    budget = 4096 if W <= 256 else 2048
+def _pick_chunk(n4: int, W: int, bwd: bool = False) -> int:
+    """Largest divisor of the flat output size within the VMEM budget.
+
+    The forward holds ONE (W, CHUNK) corner-weight matrix; the backward
+    holds THREE (mx, ex0, ex1) plus the g/my/ey blocks, so its chunk must
+    be smaller — at W=256/CHUNK=4096 the compiler's scoped-VMEM stack hit
+    25.8 MB against the 16 MB v5e limit (compile-time OOM; measured
+    2026-08-18 training STN at bucket 256)."""
+    if bwd:
+        budget = 2048 if W <= 256 else 1024
+    else:
+        budget = 4096 if W <= 256 else 2048
     best = 1
     for d in range(1, min(n4, budget) + 1):
         if n4 % d == 0:
@@ -153,7 +161,7 @@ def _sample_pix_bwd(interpret, residuals, g):
     img, x_pix, y_pix = residuals
     B, H, W = img.shape
     N = x_pix.shape[1]
-    CHUNK = _pick_chunk(N, W)
+    CHUNK = _pick_chunk(N, W, bwd=True)
     grid = (B, N // CHUNK)
     coord_spec = pl.BlockSpec(
         (1, 1, CHUNK), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM
@@ -204,6 +212,7 @@ def sampler_supported(
         and W <= 512
         and n4 % 128 == 0
         and _pick_chunk(n4, W) % 128 == 0
+        and _pick_chunk(n4, W, bwd=True) % 128 == 0
     )
 
 
