@@ -26,6 +26,10 @@ _ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "pretrained")
 REGISTRY = {
     # printed text, DejaVu-family fonts, 62-class alphanumeric
     "fonts-small": "fonts_small",
+    # STN variant (reference config 3: affine grid-sample front end),
+    # trained with on-device warp augmentation at bucket 256; reads
+    # skewed/shifted printed text. Fixed-width model (see Predictor).
+    "fonts-stn": "fonts_stn",
 }
 
 

@@ -48,3 +48,29 @@ def test_load_pretrained_reresolves_runtime_flags(monkeypatch):
     monkeypatch.setattr(rnn_mod, "pallas_rnn_default", lambda: True)
     pred = load_pretrained("fonts-small")
     assert pred.cfg.use_pallas_rnn is True  # policy won over the JSON
+
+
+def test_load_pretrained_fonts_stn():
+    """Config-3 artifact (STN front end): native-bucket serving + reads
+    fresh printed text."""
+    import os
+
+    from crnn_ocr_tpu.infer import load_pretrained, pretrained_dir
+
+    try:
+        d = pretrained_dir("fonts-stn")
+    except KeyError:
+        pytest.skip("fonts-stn not registered")
+    if not os.path.exists(os.path.join(d, "weights.h5")):
+        pytest.skip("pretrained artifact not present")
+
+    pred = load_pretrained("fonts-stn")
+    assert pred.cfg.use_stn and pred.buckets == (pred.cfg.width,)
+    from crnn_ocr_tpu.data import FontTextlines
+
+    fonts = FontTextlines()
+    rng = np.random.default_rng(424242)
+    images, texts = fonts.sample_batch(6, rng)
+    got = pred.predict_text(images)
+    acc = sum(g == t for g, t in zip(got, texts))
+    assert acc >= 5, list(zip(got, texts))
