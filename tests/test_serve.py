@@ -211,3 +211,35 @@ def test_batcher_stats_window_bounded():
     assert len(s.batch_sizes) <= 32
     snap = s.snapshot()
     assert snap["latency_ms_p50"] == 1.5
+
+
+def test_batcher_concurrent_stress_and_drain(predictor):
+    """Many threads submitting under random jitter; stop(drain=True) must
+    serve every queued request exactly once (no drops, no double-sets)."""
+    import time
+
+    pred, synth = predictor
+    rng = np.random.default_rng(7)
+    images, _ = synth.sample_batch(4, rng)
+    b = DynamicBatcher(pred, max_batch=4, max_wait_ms=2.0).start()
+    futs = []
+    lock = threading.Lock()
+
+    def submitter(seed):
+        r = np.random.default_rng(seed)
+        for _ in range(5):
+            time.sleep(float(r.uniform(0, 0.01)))
+            f = b.submit(images[int(r.integers(0, 4))])
+            with lock:
+                futs.append(f)
+
+    threads = [threading.Thread(target=submitter, args=(s,)) for s in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    b.stop(drain=True)  # must flush everything still queued
+    texts = [f.result(timeout=120).text for f in futs]
+    assert len(texts) == 30
+    assert all(isinstance(t, str) for t in texts)
+    assert b.stats.requests == 30
