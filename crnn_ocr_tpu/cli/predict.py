@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bit-exact TF beam semantics (host decoder)")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--no-norm", dest="norm", action="store_false")
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="data-parallel serving mesh size (batch sharded "
+                        "over 'data', params replicated)")
     p.add_argument("--validate", action="store_true",
                    help="compute CER/WER vs annotation")
     p.add_argument("--time", dest="timing", action="store_true")
@@ -49,10 +52,19 @@ def main(argv=None) -> int:
     from crnn_ocr_tpu.infer import init_predictor, load_pretrained
     from crnn_ocr_tpu.utils import metrics as metrics_lib
 
+    mesh = None
+    if args.n_devices > 1:
+        from crnn_ocr_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.n_devices)
     if args.pretrained:
-        predictor = load_pretrained(args.pretrained, normalize=args.norm)
+        predictor = load_pretrained(
+            args.pretrained, normalize=args.norm, mesh=mesh
+        )
     elif args.model:
-        predictor = init_predictor(args.model, normalize=args.norm)
+        predictor = init_predictor(
+            args.model, normalize=args.norm, mesh=mesh
+        )
     else:
         print("one of --model / --pretrained is required", file=sys.stderr)
         return 2

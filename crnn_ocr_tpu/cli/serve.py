@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-warmup", dest="warmup", action="store_false",
                    help="skip ahead-of-time compilation of all programs")
     p.add_argument("--request_timeout_s", type=float, default=30.0)
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="data-parallel serving mesh size")
     p.add_argument("--verbose", action="store_true",
                    help="log each HTTP request")
     return p
@@ -47,10 +49,19 @@ def main(argv=None) -> int:
     from crnn_ocr_tpu.infer import init_predictor, load_pretrained
     from crnn_ocr_tpu.serve import OCRServer
 
+    mesh = None
+    if args.n_devices > 1:
+        from crnn_ocr_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.n_devices)
     if args.pretrained:
-        predictor = load_pretrained(args.pretrained, normalize=args.norm)
+        predictor = load_pretrained(
+            args.pretrained, normalize=args.norm, mesh=mesh
+        )
     elif args.model:
-        predictor = init_predictor(args.model, normalize=args.norm)
+        predictor = init_predictor(
+            args.model, normalize=args.norm, mesh=mesh
+        )
     else:
         print("one of --model / --pretrained is required", file=sys.stderr)
         return 2

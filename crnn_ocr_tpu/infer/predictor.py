@@ -49,18 +49,28 @@ class Predictor:
         codec: LabelCodec,
         normalize: bool = True,
         buckets: Sequence[int] = (64, 128, 192, 256),
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` for data-parallel
+        serving — params replicate, request batches shard over the 'data'
+        axis, and the whole predict program runs SPMD (XLA collectives
+        over ICI). Batches are padded up to a mesh multiple transparently."""
         self.cfg = model_cfg
         self.codec = codec
         self.normalize = normalize
+        self.mesh = mesh
         # An STN model's localization Dense is bound to the width it was
         # trained at (reference C5: flatten -> Dense); other widths would
         # fail at apply time. Serve it at its native bucket only.
         self.buckets = (
             (model_cfg.width,) if model_cfg.use_stn else tuple(buckets)
         )
-        self._model = CRNN(cfg=model_cfg)
+        self._model = CRNN(cfg=model_cfg, mesh=mesh)
         self._vars = {"params": params, "batch_stats": batch_stats}
+        if mesh is not None:
+            from crnn_ocr_tpu.parallel import mesh as mesh_lib
+
+            self._vars = mesh_lib.replicate_state(self._vars, mesh)
         self._fwd = jax.jit(
             lambda v, x: jax.nn.softmax(
                 self._model.apply(v, x[..., None], train=False)[
@@ -90,14 +100,29 @@ class Predictor:
 
         The raw canvas dims are snapped up a static shape ladder
         (``preprocess.quantize_dim``) — a serving predictor sees arbitrary
-        image sizes, and every distinct canvas shape is a jit cache key."""
-        canvas, hs, ws = pack_canvas(list(images), quantize=True)
+        image sizes, and every distinct canvas shape is a jit cache key.
+        On a mesh, the batch pads up to a device multiple (blank rows,
+        dropped from the outputs) and shards over 'data'."""
+        n_req = len(images)
+        images = list(images)
+        if self.mesh is not None and n_req % self.mesh.size:
+            h = images[0].shape[0]
+            pad = -(-n_req // self.mesh.size) * self.mesh.size - n_req
+            images += [np.full((h, 16), 255, np.uint8)] * pad
+        canvas, hs, ws = pack_canvas(images, quantize=True)
         if bucket is None:
             w_need = max(
                 int(round(w * self.cfg.height / h)) for h, w in zip(hs, ws)
             )
             bucket = next(
                 (b for b in self.buckets if w_need <= b), self.buckets[-1]
+            )
+        if self.mesh is not None:
+            from crnn_ocr_tpu.parallel.mesh import batch_sharding
+
+            sh = batch_sharding(self.mesh)
+            canvas, hs, ws = (
+                jax.device_put(a, sh) for a in (canvas, hs, ws)
             )
         x, w_new = preprocess_batch(
             canvas,
@@ -114,7 +139,7 @@ class Predictor:
             1,
             T,
         )
-        return probs, input_len
+        return probs[:n_req], input_len[:n_req]
 
     def predict(
         self,

@@ -457,3 +457,35 @@ def test_editdistance_sharded_matches_unsharded():
         )
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_mesh_predictor_matches_single_device(setup):
+    """Data-parallel serving (Predictor(mesh=...)): batch sharded over
+    'data', params replicated — decoded text and probabilities must match
+    the single-device predictor, including a batch size that does NOT
+    divide the mesh (transparent pad + slice)."""
+    from crnn_ocr_tpu.infer import Predictor
+
+    cfg, state, _ = setup
+    synth = SyntheticTextlines(
+        SyntheticConfig(alphabet="0123456789", min_len=2, max_len=5)
+    )
+    rng = np.random.default_rng(23)
+    images, _ = synth.sample_batch(11, rng)  # 11 % 8 != 0 on purpose
+    single = Predictor(
+        cfg, state.params, state.batch_stats, synth.codec, buckets=(64,)
+    )
+    dp = Predictor(
+        cfg, state.params, state.batch_stats, synth.codec, buckets=(64,),
+        mesh=make_mesh(8),
+    )
+    p1, l1 = single.predict_probs(list(images))
+    p2, l2 = dp.predict_probs(list(images))
+    assert p2.shape == p1.shape
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(
+        np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-6
+    )
+    t1 = single.predict_text(list(images))
+    t2 = dp.predict_text(list(images))
+    assert t1 == t2
