@@ -81,6 +81,8 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._reply(404, {"error": f"no such route: {self.path}"})
 
+    max_payload_bytes: int = 32 << 20  # reject absurd bodies before reading
+
     def do_POST(self):  # noqa: N802 — http.server API
         if self.path != "/predict":
             self._reply(404, {"error": f"no such route: {self.path}"})
@@ -89,6 +91,10 @@ class _Handler(BaseHTTPRequestHandler):
             n = int(self.headers.get("Content-Length", 0))
             if n <= 0:
                 raise ValueError("empty body")
+            if n > self.max_payload_bytes:
+                raise ValueError(
+                    f"payload {n} bytes exceeds {self.max_payload_bytes}"
+                )
             image = decode_image_bytes(self.rfile.read(n))
         except Exception as e:  # noqa: BLE001 — client error, report it
             self._reply(400, {"error": str(e)})

@@ -243,3 +243,21 @@ def test_batcher_concurrent_stress_and_drain(predictor):
     assert len(texts) == 30
     assert all(isinstance(t, str) for t in texts)
     assert b.stats.requests == 30
+
+
+def test_http_payload_cap(predictor):
+    pred, _ = predictor
+    srv = OCRServer(
+        pred, host="127.0.0.1", port=0, max_batch=2, max_wait_ms=5.0
+    ).start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}/predict"
+        req = urllib.request.Request(
+            url, data=b"x", method="POST",
+            headers={"Content-Length": str(64 << 20)},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+    finally:
+        srv.stop()
