@@ -267,34 +267,35 @@ def main() -> int:
             ctc_beam_search_decode_tf,
         )
 
-        B, T, C, K = 32, 30, 81, 64
-        peak = rng.integers(0, C, size=(K, B, T))
-        logits = rng.normal(size=(K, B, T, C)).astype(np.float32)
-        logits[
-            np.arange(K)[:, None, None], np.arange(B)[None, :, None],
-            np.arange(T)[None, None, :], peak,
-        ] += 6.0
-        probs = jax.device_put(
-            np.asarray(jax.nn.softmax(jnp2.asarray(logits), axis=-1))
-        )
-        il = jax.device_put(np.full((K, B), T, np.int32))
-        try:
-            step = _device_time(
-                lambda p, l: ctc_beam_search_decode_tf(
-                    p, l, beam_width=10, top_paths=1
-                ),
-                (), (probs, il), K=K,
+        for B, K in ((32, 64), (256, 16)):
+            T, C = 30, 81
+            peak = rng.integers(0, C, size=(K, B, T))
+            logits = rng.normal(size=(K, B, T, C)).astype(np.float32)
+            logits[
+                np.arange(K)[:, None, None], np.arange(B)[None, :, None],
+                np.arange(T)[None, None, :], peak,
+            ] += 6.0
+            probs = jax.device_put(
+                np.asarray(jax.nn.softmax(jnp2.asarray(logits), axis=-1))
             )
-            rec = {"batch": B, "width": None,
-                   "lines_per_sec": round(B / step, 1),
-                   "batch_ms": round(1e3 * step, 3),
-                   "note": "decoder-only, peaked (trained-model-like)"
-                           " posteriors"}
-        except Exception as e:  # pragma: no cover - device-dependent
-            rec = {"error": f"{type(e).__name__}: {e}"}
-            jax.clear_caches()
-        results["configs"]["beam10_decoder_sharp_b32"] = rec
-        print("beam10_decoder_sharp_b32", rec, file=sys.stderr)
+            il = jax.device_put(np.full((K, B), T, np.int32))
+            try:
+                step = _device_time(
+                    lambda p, l: ctc_beam_search_decode_tf(
+                        p, l, beam_width=10, top_paths=1
+                    ),
+                    (), (probs, il), K=K,
+                )
+                rec = {"batch": B, "width": None,
+                       "lines_per_sec": round(B / step, 1),
+                       "batch_ms": round(1e3 * step, 3),
+                       "note": "decoder-only, peaked (trained-model-like)"
+                               " posteriors"}
+            except Exception as e:  # pragma: no cover - device-dependent
+                rec = {"error": f"{type(e).__name__}: {e}"}
+                jax.clear_caches()
+            results["configs"][f"beam10_decoder_sharp_b{B}"] = rec
+            print(f"beam10_decoder_sharp_b{B}", rec, file=sys.stderr)
     if want("noPallas"):
         serving_bench("greedy_b256_w128_noPallas", 256, 128, use_pallas=False)
     if want("editdistance"):
