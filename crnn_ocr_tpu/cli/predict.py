@@ -49,24 +49,16 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import cv2
 
-    from crnn_ocr_tpu.infer import init_predictor, load_pretrained
+    from crnn_ocr_tpu.infer import predictor_from_cli
     from crnn_ocr_tpu.utils import metrics as metrics_lib
 
-    mesh = None
-    if args.n_devices > 1:
-        from crnn_ocr_tpu.parallel import make_mesh
-
-        mesh = make_mesh(args.n_devices)
-    if args.pretrained:
-        predictor = load_pretrained(
-            args.pretrained, normalize=args.norm, mesh=mesh
+    try:
+        predictor = predictor_from_cli(
+            args.model, args.pretrained, normalize=args.norm,
+            n_devices=args.n_devices,
         )
-    elif args.model:
-        predictor = init_predictor(
-            args.model, normalize=args.norm, mesh=mesh
-        )
-    else:
-        print("one of --model / --pretrained is required", file=sys.stderr)
+    except SystemExit as e:
+        print(e, file=sys.stderr)
         return 2
 
     # collect images (+ optional references)

@@ -46,24 +46,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    from crnn_ocr_tpu.infer import init_predictor, load_pretrained
+    from crnn_ocr_tpu.infer import predictor_from_cli
     from crnn_ocr_tpu.serve import OCRServer
 
-    mesh = None
-    if args.n_devices > 1:
-        from crnn_ocr_tpu.parallel import make_mesh
-
-        mesh = make_mesh(args.n_devices)
-    if args.pretrained:
-        predictor = load_pretrained(
-            args.pretrained, normalize=args.norm, mesh=mesh
+    try:
+        predictor = predictor_from_cli(
+            args.model, args.pretrained, normalize=args.norm,
+            n_devices=args.n_devices,
         )
-    elif args.model:
-        predictor = init_predictor(
-            args.model, normalize=args.norm, mesh=mesh
-        )
-    else:
-        print("one of --model / --pretrained is required", file=sys.stderr)
+    except SystemExit as e:
+        print(e, file=sys.stderr)
         return 2
 
     decode_kw = (

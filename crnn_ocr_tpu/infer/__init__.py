@@ -3,6 +3,7 @@ from crnn_ocr_tpu.infer.predictor import (
     Predictor,
     decode_predict_ctc,
     init_predictor,
+    predictor_from_cli,
 )
 from crnn_ocr_tpu.infer.pretrained import load_pretrained, pretrained_dir
 
@@ -11,6 +12,7 @@ __all__ = [
     "Predictor",
     "decode_predict_ctc",
     "init_predictor",
+    "predictor_from_cli",
     "load_pretrained",
     "pretrained_dir",
 ]

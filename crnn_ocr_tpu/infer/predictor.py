@@ -82,6 +82,21 @@ class Predictor:
 
     # ---- core batched path ----
 
+    def bucket_for(self, image: np.ndarray) -> int:
+        """Width bucket this image routes to (single source of truth for
+        the predictor, predict_many, and the serving batcher)."""
+        ih, iw = np.asarray(image).shape[:2]
+        if ih <= 0 or iw <= 0:
+            raise ValueError(f"empty image: shape {np.asarray(image).shape}")
+        w_need = int(round(iw * self.cfg.height / ih))
+        return next(
+            (b for b in self.buckets if w_need <= b), self.buckets[-1]
+        )
+
+    def blank_row(self) -> np.ndarray:
+        """White pad image used for batch-ladder padding rows."""
+        return np.full((self.cfg.height, 16), 255, np.uint8)
+
     def warmup(self, batch_size: int = 32, buckets=None) -> None:
         """Pre-compile the forward graph for each width bucket so first-user
         latency is compile-free (compiles are minutes on some hosts)."""
@@ -106,9 +121,8 @@ class Predictor:
         n_req = len(images)
         images = list(images)
         if self.mesh is not None and n_req % self.mesh.size:
-            h = images[0].shape[0]
             pad = -(-n_req // self.mesh.size) * self.mesh.size - n_req
-            images += [np.full((h, 16), 255, np.uint8)] * pad
+            images += [self.blank_row()] * pad
         canvas, hs, ws = pack_canvas(images, quantize=True)
         if bucket is None:
             w_need = max(
@@ -214,15 +228,9 @@ class Predictor:
         compiled program per bucket, minimal padding waste), and returns
         predictions in the ORIGINAL order.
         """
-        h = self.cfg.height
         groups: dict = {}
         for i, im in enumerate(images):
-            ih, iw = np.asarray(im).shape[:2]
-            w_need = int(round(iw * h / ih))
-            bucket = next(
-                (b for b in self.buckets if w_need <= b), self.buckets[-1]
-            )
-            groups.setdefault(bucket, []).append(i)
+            groups.setdefault(self.bucket_for(im), []).append(i)
 
         out: List[Optional[Prediction]] = [None] * len(images)
         for bucket in sorted(groups):
@@ -270,18 +278,18 @@ def init_predictor(model_dir: str, **kw) -> Predictor:
                 "(classes.pkl / classes.json)"
             )
         cfg = resolve_runtime_flags(
-            dataclasses.replace(cfg, use_pallas_rnn=None)
+            dataclasses.replace(cfg, use_pallas_rnn=None, use_fused_stem=None)
         )
         return Predictor(cfg, params, batch_stats, codec, **kw)
 
     cfg = load_model_config(model_dir)
-    # use_pallas_rnn is a runtime knob (params identical either way): don't
-    # inherit whatever backend the checkpoint was TRAINED on — re-resolve
-    # the auto policy for THIS process (on for TPU, scan elsewhere).
+    # Kernel-path knobs are runtime policy (params identical either way):
+    # don't inherit whatever backend the checkpoint was TRAINED on —
+    # re-resolve for THIS process. Same reset as load_pretrained.
     from crnn_ocr_tpu.models import resolve_runtime_flags
 
     cfg = resolve_runtime_flags(
-        dataclasses.replace(cfg, use_pallas_rnn=None)
+        dataclasses.replace(cfg, use_pallas_rnn=None, use_fused_stem=None)
     )
     codec = load_codec(model_dir)
     template = create_train_state(cfg, jax.random.key(0))
@@ -322,3 +330,28 @@ def decode_predict_ctc(
         for b in range(B)
     ]
     return texts, np.asarray(scores)
+
+
+def predictor_from_cli(
+    model: "str | None",
+    pretrained: "str | None",
+    normalize: bool = True,
+    n_devices: int = 1,
+    **kw,
+) -> Predictor:
+    """Shared CLI loader (predict + serve): resolves --model/--pretrained
+    and the optional --n_devices data-parallel mesh in one place."""
+    mesh = None
+    if n_devices > 1:
+        from crnn_ocr_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_devices)
+    if pretrained:
+        from crnn_ocr_tpu.infer.pretrained import load_pretrained
+
+        return load_pretrained(
+            pretrained, normalize=normalize, mesh=mesh, **kw
+        )
+    if model:
+        return init_predictor(model, normalize=normalize, mesh=mesh, **kw)
+    raise SystemExit("one of --model / --pretrained is required")

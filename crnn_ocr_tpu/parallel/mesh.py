@@ -31,6 +31,11 @@ def make_mesh(
 ) -> Mesh:
     devices = list(devices or jax.devices())
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available"
+            )
         devices = devices[:n_devices]
     shape = (len(devices),) + (1,) * (len(axis_names) - 1)
     return Mesh(np.array(devices).reshape(shape), axis_names)

@@ -122,9 +122,14 @@ class DynamicBatcher:
         self._worker.start()
         return self
 
-    def stop(self, drain: bool = True) -> None:
+    def stop(self, drain: bool = True, join_timeout_s: float = 600.0) -> None:
         """Stop the worker; with ``drain`` (default) pending requests are
-        served first, otherwise their futures get cancelled."""
+        served first, otherwise their futures get cancelled.
+
+        ``join_timeout_s`` bounds the wait for the worker's in-flight
+        device work (a cold compile can take minutes): abandoning an ACTIVE
+        device call at interpreter exit aborts the TPU runtime, so the
+        default is generous and a timeout is loudly reported."""
         with self._cv:
             self._stop = True
             if not drain:
@@ -133,29 +138,45 @@ class DynamicBatcher:
                 self._queue.clear()
             self._cv.notify_all()
         if self._worker is not None:
-            self._worker.join(timeout=60)
+            self._worker.join(timeout=join_timeout_s)
+            if self._worker.is_alive():
+                import sys
+
+                print(
+                    "[serve] WARNING: batcher worker still busy after "
+                    f"{join_timeout_s}s; exiting anyway (device runtime "
+                    "may abort on teardown)",
+                    file=sys.stderr,
+                )
             self._worker = None
 
     def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
-        """Compile every (ladder size, bucket) program up front so no user
-        request ever pays a compile. O(len(ladder) * len(buckets)) programs."""
+        """Compile every (ladder size, bucket) forward+decode program up
+        front, at two representative raw-canvas shapes per bucket (minimal
+        16px and height x bucket). NOTE: the raw canvas dims are a jit key
+        too (quantized up a ladder by the predictor to bound the set), so
+        the first request at an unseen quantized canvas shape still pays
+        one preprocess compile; everything downstream of preprocess is hot."""
         h = self.predictor.cfg.height
         for b in buckets or self.predictor.buckets:
             for n in self.ladder:
-                imgs = [np.full((h, 16), 255, np.uint8)] * n
-                self.predictor.predict(imgs, bucket=b, **self.decode_kw)
+                for w in (16, b):
+                    imgs = [np.full((h, w), 255, np.uint8)] * n
+                    self.predictor.predict(imgs, bucket=b, **self.decode_kw)
 
     # ---- request side ----
 
     def submit(self, image: np.ndarray) -> Future:
-        """Enqueue one grayscale uint8 image; resolves to a ``Prediction``."""
+        """Enqueue one grayscale uint8 image; resolves to a ``Prediction``.
+
+        Raises ``ValueError`` for malformed images (wrong rank, empty dims)
+        — client errors, surfaced before anything enqueues."""
         image = np.asarray(image)
-        if image.ndim != 2:
-            raise ValueError(f"expected grayscale HxW image, got {image.shape}")
-        h = self.predictor.cfg.height
-        w_need = int(round(image.shape[1] * h / image.shape[0]))
-        buckets = self.predictor.buckets
-        bucket = next((b for b in buckets if w_need <= b), buckets[-1])
+        if image.ndim != 2 or min(image.shape) == 0:
+            raise ValueError(
+                f"expected non-empty grayscale HxW image, got {image.shape}"
+            )
+        bucket = self.predictor.bucket_for(image)
         req = _Request(image, bucket)
         with self._cv:
             if self._stop:
@@ -204,9 +225,8 @@ class DynamicBatcher:
     def _run_group(self, bucket: int, reqs: List[_Request]) -> None:
         n = len(reqs)
         padded = next(s for s in self.ladder if s >= n)
-        h = self.predictor.cfg.height
         images = [r.image for r in reqs] + [
-            np.full((h, 16), 255, np.uint8)
+            self.predictor.blank_row()
         ] * (padded - n)
         try:
             preds = self.predictor.predict(

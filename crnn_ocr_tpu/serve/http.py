@@ -82,8 +82,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"no such route: {self.path}"})
 
     max_payload_bytes: int = 32 << 20  # reject absurd bodies before reading
+    inflight: "object"  # _Inflight, set by OCRServer
 
     def do_POST(self):  # noqa: N802 — http.server API
+        with self.inflight:
+            self._do_post()
+
+    def _do_post(self):
         if self.path != "/predict":
             self._reply(404, {"error": f"no such route: {self.path}"})
             return
@@ -96,15 +101,28 @@ class _Handler(BaseHTTPRequestHandler):
                     f"payload {n} bytes exceeds {self.max_payload_bytes}"
                 )
             image = decode_image_bytes(self.rfile.read(n))
+            if image.ndim != 2 or min(image.shape) == 0:
+                raise ValueError(
+                    f"expected non-empty grayscale image, got {image.shape}"
+                )
         except Exception as e:  # noqa: BLE001 — client error, report it
             self._reply(400, {"error": str(e)})
             return
+        import concurrent.futures
+
         try:
             pred = self.batcher.predict_sync(
                 image, timeout=self.request_timeout_s
             )
+        except concurrent.futures.TimeoutError:
+            self._reply(
+                504,
+                {"error": f"request timed out after "
+                          f"{self.request_timeout_s}s (still queued)"},
+            )
+            return
         except Exception as e:  # noqa: BLE001 — surfaced as 5xx
-            self._reply(503, {"error": str(e)})
+            self._reply(503, {"error": f"{type(e).__name__}: {e}"})
             return
         out = {"text": pred.text, "score": pred.score}
         if pred.candidates:
@@ -112,6 +130,38 @@ class _Handler(BaseHTTPRequestHandler):
                 {"text": t, "score": s} for t, s in pred.candidates
             ]
         self._reply(200, out)
+
+
+class _Inflight:
+    """Context-managed in-flight request counter with a drain wait — a
+    graceful shutdown must not kill daemon handler threads between their
+    Future resolving and the HTTP reply hitting the socket."""
+
+    def __init__(self):
+        self._n = 0
+        self._cv = threading.Condition()
+
+    def __enter__(self):
+        with self._cv:
+            self._n += 1
+
+    def __exit__(self, *exc):
+        with self._cv:
+            self._n -= 1
+            self._cv.notify_all()
+        return False
+
+    def wait_empty(self, timeout: float) -> bool:
+        import time
+
+        deadline = time.monotonic() + timeout
+        with self._cv:
+            while self._n > 0:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self._cv.wait(timeout=remaining)
+            return True
 
 
 class _Listener(ThreadingHTTPServer):
@@ -142,6 +192,7 @@ class OCRServer:
             max_wait_ms=max_wait_ms,
             decode_kw=decode_kw,
         )
+        self.inflight = _Inflight()
         handler = type(
             "BoundHandler",
             (_Handler,),
@@ -149,6 +200,7 @@ class OCRServer:
                 "batcher": self.batcher,
                 "request_timeout_s": request_timeout_s,
                 "quiet": quiet,
+                "inflight": self.inflight,
             },
         )
         self.httpd = _Listener((host, port), handler)
@@ -172,8 +224,11 @@ class OCRServer:
         try:
             self.httpd.serve_forever()
         finally:
-            # graceful: in-flight/queued requests complete before exit
+            # graceful: queued requests run, THEN handler threads finish
+            # writing their replies — daemon threads die at interpreter
+            # exit, so the drain must block until responses are on the wire
             self.batcher.stop(drain=True)
+            self.inflight.wait_empty(timeout=60)
 
     def stop(self) -> None:
         self.httpd.shutdown()
