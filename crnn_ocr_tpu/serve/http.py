@@ -78,6 +78,34 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200, {"ok": True})
         elif self.path == "/stats":
             self._reply(200, self.batcher.stats.snapshot())
+        elif self.path == "/metrics":
+            # Prometheus text exposition of the same counters
+            s = self.batcher.stats.snapshot()
+            lines = [
+                "# TYPE ocr_requests_total counter",
+                f"ocr_requests_total {s['requests']}",
+                "# TYPE ocr_batches_total counter",
+                f"ocr_batches_total {s['batches']}",
+                "# TYPE ocr_errors_total counter",
+                f"ocr_errors_total {s['errors']}",
+                "# TYPE ocr_padded_rows_total counter",
+                f"ocr_padded_rows_total {s['padded_rows']}",
+                "# TYPE ocr_mean_batch_size gauge",
+                f"ocr_mean_batch_size {s['mean_batch_size']}",
+            ]
+            for q in ("p50", "p95"):
+                v = s[f"latency_ms_{q}"]
+                if v is not None:
+                    lines += [
+                        f"# TYPE ocr_latency_ms_{q} gauge",
+                        f"ocr_latency_ms_{q} {v}",
+                    ]
+            body = ("\n".join(lines) + "\n").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._reply(404, {"error": f"no such route: {self.path}"})
 

@@ -261,3 +261,25 @@ def test_http_payload_cap(predictor):
         assert e.value.code == 400
     finally:
         srv.stop()
+
+
+def test_http_metrics_endpoint(predictor):
+    pred, synth = predictor
+    srv = OCRServer(
+        pred, host="127.0.0.1", port=0, max_batch=2, max_wait_ms=5.0
+    ).start()
+    try:
+        rng = np.random.default_rng(3)
+        images, _ = synth.sample_batch(1, rng)
+        buf = io.BytesIO()
+        np.save(buf, images[0])
+        _post(f"http://127.0.0.1:{srv.port}/predict", buf.getvalue())
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics", timeout=30
+        ) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            body = r.read().decode()
+        assert "ocr_requests_total 1" in body
+        assert "ocr_latency_ms_p50" in body
+    finally:
+        srv.stop()
