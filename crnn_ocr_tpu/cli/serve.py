@@ -11,7 +11,8 @@ Examples:
       --max_batch 64 --max_wait_ms 3 --beam_width 10
 
   curl -s -X POST --data-binary @word.png localhost:8000/predict
-  curl -s localhost:8000/stats
+  curl -s localhost:8000/stats     # JSON counters + latency percentiles
+  curl -s localhost:8000/metrics   # Prometheus text format
 """
 
 from __future__ import annotations
