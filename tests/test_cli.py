@@ -91,3 +91,41 @@ def test_train_then_predict_cli(dataset_dir, tmp_path, capsys):
         ]
     )
     assert rc == 0
+
+
+@pytest.mark.slow
+def test_train_cli_stn_pins_width(tmp_path):
+    """--stn trains at a single bucket and pins ModelConfig.width to it
+    (the STN loc-Dense is width-bound, C5); the saved model must load into
+    a predictor that serves at that native bucket."""
+    import json
+
+    from crnn_ocr_tpu.cli.train import main as train_main
+    from crnn_ocr_tpu.infer import init_predictor
+
+    model_dir = str(tmp_path / "stn_model")
+    rc = train_main(
+        [
+            "--dataset", "synthetic",
+            "--stn",
+            "--buckets", "64",
+            "--steps", "2",
+            "--eval_every", "2",
+            "--batch_size", "4",
+            "--n_units", "8",
+            "--time_dense_size", "8",
+            "--rnn_layers", "1",
+            "--save_path", model_dir,
+        ]
+    )
+    assert rc == 0
+    cfg = json.load(open(os.path.join(model_dir, "model_config.json")))
+    assert cfg["use_stn"] and cfg["width"] == 64
+    pred = init_predictor(model_dir)
+    assert pred.buckets == (64,)
+    # narrow AND wide requests both route to the native bucket
+    for w in (30, 300):
+        probs, _ = pred.predict_probs(
+            [np.full((32, w), 255, np.uint8)]
+        )
+        assert probs.shape[1] == 64 // 4 - 2
