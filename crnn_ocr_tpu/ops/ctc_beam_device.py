@@ -30,13 +30,16 @@ but it decomposes exactly into vectorized passes:
      spawns children only if its previous total beats the bottom *at
      sweep i* (or the beam is underfull), and only if it wasn't
      gate-zeroed by an earlier sweep (point 2). Both depend only on
-     sweeps < i (well-founded), so a W-step fori_loop carrying an
-     incrementally-updated inclusion-count curve over the sorted pool
-     computes the exact sequential gates directly — one cheap (B, N)
-     scan per sweep. (A Jacobi fixpoint over the gates was the first
-     formulation; it converged, but on peaked deployment posteriors it
-     ran its full W+2 iteration budget nearly every frame — 19x slower
-     per frame, measured on v5e.)
+     sweeps < i (well-founded), so an unrolled W-sweep loop carrying a
+     running top-W value buffer (bottom = its last lane) plus direct
+     eviction counts off small (B, W, W[, C]) compare-reduces computes
+     the exact sequential gates — no pool sort, no (B, N) count curves.
+     (A Jacobi fixpoint over the gates was the first formulation; it
+     converged, but on peaked deployment posteriors it ran its full W+2
+     iteration budget nearly every frame — 19x slower per frame,
+     measured on v5e. The sorted-pool inclusion-curve formulation that
+     replaced it was exact but paid two (B, 820) stable sorts plus
+     count-curve einsums per frame — ~2/3 of the slow-branch cost.)
 
 Everything else is bookkeeping: prefix identities are rolling hashes
 (collision odds ~W^2 * 2^-32 per step), and prefixes are reconstructed
@@ -94,8 +97,15 @@ def _sel1(onehot, vals):
     return jnp.sum(jnp.where(onehot, vals[:, None, :], 0), axis=2)
 
 
-def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
-    """One TF-exact beam step. See module docstring for the derivation."""
+def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
+               diag: bool = False):
+    """One TF-exact beam step. See module docstring for the derivation.
+
+    With ``diag=True`` the step additionally returns per-sample dispatch
+    predicates ``(cheap_s, bound_s)`` — which samples the tier-1 syntactic
+    proof and the tier-2 eviction bound would individually admit this
+    frame — for tier-hit-rate measurement (tools/diag_beam_tiers.py).
+    """
     (total, p_b, p_nb, hashes, parent_hash, last_label, length, alive) = state
     lp = inputs  # (B, C) log_softmax(log(p+eps)) for this frame
     B = lp.shape[0]
@@ -183,9 +193,37 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
     # (A per-branch top-(W+1) prefilter is provably lossless but measured
     # SLOWER on v5e — many small top_k/argsort rows lower worse than one
     # wide top_k — so the pool stays full-width.)
-    N = W + W * C
-    pool = jnp.concatenate([s_total, cand.reshape(B, W * C)], axis=1)
     eligible = alive & (total > NEG / 2)
+
+    # Per-branch candidate top-(W+1): any candidate in the pool's top-(W+1)
+    # is within its own branch's top-(W+1), so one reshaped (B*W, C) top_k
+    # + a narrow merge replaces the top_k over the (B, W+W*C) pool — which
+    # lowers as a FULL 820-lane stable sort (61 us/frame at B=256, traced;
+    # half the fast-path cost). Per-branch ties keep label-ascending order
+    # and the merge concat keeps [stays | branch 0 | branch 1 | ...], so
+    # the lexicographic pool priority (value desc; stays before candidates;
+    # lower branch, then lower label) is preserved exactly.
+    K1 = W + 1
+    cv_b, ci_b = jax.lax.top_k(cand.reshape(B * W, C), K1)
+    cv_b = cv_b.reshape(B, W, K1)  # (B, W, K1) values, desc
+    pool_idx_b = (
+        W + jnp.arange(W, dtype=jnp.int32)[None, :, None] * C
+        + ci_b.reshape(B, W, K1)
+    )  # (B, W, K1): each entry's index in the full [stays | cand] pool
+    small_idx = jnp.concatenate(
+        [jnp.broadcast_to(iW[None, :], (B, W)).astype(jnp.int32),
+         pool_idx_b.reshape(B, W * K1)],
+        axis=1,
+    )  # (B, W + W*K1) -> full-pool index map
+
+    def _topk_small(small_pool, k):
+        """top_k over the reduced pool, returning full-pool indices."""
+        tv, sp = jax.lax.top_k(small_pool, k)
+        oh = sp[:, :, None] == jnp.arange(
+            small_pool.shape[1], dtype=jnp.int32
+        )[None, None, :]
+        ti = jnp.sum(jnp.where(oh, small_idx[:, None, :], 0), axis=2)
+        return tv, ti
 
     # -------- Fast path: all gates open == one top-(W+1) --------
     # Gating/zeroing is rare (it engages only on near-tie posteriors), and
@@ -222,38 +260,67 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
     )  # (B, W): branch j's stay survived
     ok_a = jnp.all(~bsel | (total > bottom_final[:, None]), axis=1)
     ok_c = (topv1[:, W - 1] > topv1[:, W]) | (topv1[:, W] <= NEG / 2)
-    kappa = parent_idx * C + jnp.maximum(last_label, 0)  # parent regen key
     cheap_safe = (
         stay_in_top | ~parent_found | (parent_idx >= iW[None, :])
     )
     # cheap_ok implies fast_ok (cheap_safe is a subset of safe_zero below).
-    cheap_ok = jnp.all(
-        ok_a & jnp.all(~bsel | cheap_safe, axis=1) & ok_c
-    )
+    cheap_s = ok_a & jnp.all(~bsel | cheap_safe, axis=1) & ok_c  # (B,)
+    cheap_ok = jnp.all(cheap_s)
 
     def fast_path(_):
         return topv1[:, :W], topi1[:, :W]
 
-    def bound_path(_):
-        # The only zeroing hazard for branch j: its stay evicted BEFORE the
-        # parent's regeneration attempt at key kappa_j. Bound the eviction
-        # directly (no sort, no fixpoint): count pool entries with priority
-        # above stay_j among {all stays} u {candidates with key < kappa_j},
-        # under ALL-OPEN inclusion (a superset of the true sequential
-        # inclusion, so the count is an upper bound; < W => provably never
-        # evicted => zeroing impossible => fast path safe for j). Priority =
-        # sorted-descending stable order: value desc; ties -> stays (by stay
-        # sort position) before candidates. A stricter-than-needed
-        # stay_in_top test alone rejected ~3% of samples per frame on
-        # PEAKED (deployment) posteriors — and the batch-global fast_ok
-        # then sank every sample into the sequential fixpoint (28x slower
-        # end-to-end, measured). sv_j/sv_k defined with inv_perm above.
-        prior_stays = jnp.sum(
+    def _evict_counts():
+        """Shared eviction-count tensors for the bound and exact tiers.
+
+        Every count either tier needs compares candidate values against
+        STAY values and saturates at W in use, so the counts come straight
+        off ``cand`` (B, W, C) as compare-reduces over small (B, W, W[, C])
+        tensors — no pool sort, no (B, N) inclusion curves. (The previous
+        sorted-pool formulation's two (B, 820) stable sorts plus
+        triangular-matmul count curves were ~6 of the 9.5 ms slow-branch
+        cost per decode at B=256 W=10, traced on v5e.)
+        """
+        # Priority = sorted-descending stable pool order: value desc; ties
+        # -> stays (in stay sort order) before candidates, so stays count
+        # on >=-with-earlier-position and candidates on strict >.
+        stays_above = jnp.sum(
             (sv_k > sv_j)
             | ((sv_k == sv_j)
                & (inv_perm[:, None, :] < inv_perm[:, :, None])),
-            axis=2,
-        )  # (B, W)
+            axis=2, dtype=jnp.int32,
+        )  # (B, Wj): stays with higher priority than stay j
+        cgt = (
+            cand[:, None, :, :] > stay_total[:, :, None, None]
+        )  # (B, Wj, Wi, C): branch-i candidates strictly above stay j
+        above_cnt = jnp.sum(cgt, axis=3, dtype=jnp.int32)  # (B, Wj, Wi)
+        lab_lt = (
+            jnp.arange(C)[None, None, :]
+            < jnp.maximum(last_label, 0)[:, :, None]
+        )  # (B, Wj, C): labels before branch j's regeneration label
+        partial_cnt = jnp.sum(
+            cgt & lab_lt[:, :, None, :], axis=3, dtype=jnp.int32
+        )  # (B, Wj, Wi): same, keys < kappa_j within branch i
+        pj = jnp.where(parent_found, parent_idx, W)  # (B, W)
+        pj_onehot = pj[:, :, None] == iW[None, None, :]  # (B, Wj, Wi)
+        partial_pj = jnp.sum(
+            jnp.where(pj_onehot, partial_cnt, 0), axis=2
+        )  # (B, Wj): parent's pre-regeneration candidates above stay j
+        return stays_above, above_cnt, partial_pj, pj, pj_onehot
+
+    def _bound_safe(counts):
+        # The only zeroing hazard for branch j: its stay evicted BEFORE the
+        # parent's regeneration attempt at key kappa_j = (pj, label_j).
+        # Bound the eviction directly (no sort, no fixpoint): count pool
+        # entries with priority above stay_j among {all stays} u
+        # {candidates with key < kappa_j}, under ALL-OPEN inclusion (a
+        # superset of the true sequential inclusion, so the count is an
+        # upper bound; < W => provably never evicted => zeroing impossible
+        # => fast path safe for j). A stricter-than-needed stay_in_top test
+        # alone rejected ~3% of samples per frame on PEAKED (deployment)
+        # posteriors — and the batch-global fast_ok then sank every sample
+        # into the sequential fixpoint (28x slower end-to-end, measured).
+        stays_above, above_cnt, partial_pj, pj, pj_onehot = counts
         # Refinement that makes the bound tight on PEAKED (deployment)
         # posteriors: branch 0 has no parent (cannot be zeroed) and is open
         # whenever the beam is underfull or its total beats the worst stay —
@@ -272,129 +339,70 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
         )  # (B,)
         union0 = jnp.concatenate([s_total, cand[:, 0, :]], axis=1)
         bottom_lb = jax.lax.top_k(union0, W)[0][:, W - 1]  # (B,)
-        provably_closed = (
+        notclosed = ~(
             b0_open[:, None]
             & (iW[None, :] >= 1)
             & (total <= bottom_lb[:, None])
-        )  # (B, W): candidates of these branches never insert
-        cand_flat = cand.reshape(B, 1, W * C)
-        keys = jnp.arange(W * C, dtype=jnp.int32)[None, None, :]
-        notclosed_flat = jnp.repeat(~provably_closed, C, axis=1)[:, None, :]
-        prior_cands = jnp.sum(
-            (cand_flat > sv_j) & (keys < kappa[:, :, None]) & notclosed_flat,
+        )  # (B, Wi): branches whose candidates may insert
+        full = jnp.sum(
+            jnp.where(
+                (iW[None, None, :] < pj[:, :, None]) & notclosed[:, None, :],
+                above_cnt, 0,
+            ),
             axis=2,
-        )  # (B, W)
-        never_evicted = (prior_stays + prior_cands) < W
+        )  # (B, Wj): candidates of not-closed branches before the parent
+        par_notclosed = jnp.any(pj_onehot & notclosed[:, None, :], axis=2)
+        prior = (
+            stays_above + full + jnp.where(par_notclosed, partial_pj, 0)
+        )
+        never_evicted = prior < W
         safe_zero = cheap_safe | never_evicted
         ok_b = jnp.all(~bsel | safe_zero, axis=1)
-        fast_ok = jnp.all(ok_a & ok_b & ok_c)
-        return jax.lax.cond(fast_ok, fast_path, slow_path, None)
+        return ok_a & ok_b & ok_c  # (B,) per-sample fast-path safety
+
+    def bound_path(_):
+        # _evict_counts is computed ONCE here and closed over by the inner
+        # cond's slow branch (the counts are identical for both tiers; the
+        # slow branch previously recomputed them).
+        counts = _evict_counts()
+        fast_ok = jnp.all(_bound_safe(counts))
+        return jax.lax.cond(
+            fast_ok, fast_path, lambda _: slow_path(counts), None
+        )
 
     # -------- Slow path: exact sequential gating, ONE left-to-right pass
     # over the W sweeps. Gate/zeroing state for sweep j depends only on
-    # sweeps < j (well-founded), so a fori_loop carrying an incrementally
-    # updated inclusion-count curve computes the EXACT sequential answer —
-    # no Jacobi fixpoint (the previous formulation iterated (B,W,N)
-    # cumsums up to W+2 times; on peaked deployment posteriors it ran the
-    # full budget nearly every frame, ~19x slower per frame, measured).
-    # (A pool shrink to stays + top-K candidates was tried and REVERTED:
-    # candidates <= the worst stay are provably irrelevant, but any static
-    # cap on the rest can undercount the eviction priors — a dropped
-    # entry's in-branch beaters need not precede kappa_j — flipping the
-    # zeroing cascade on adversarial near-ties. Exactness wins.)
-    def slow_path(_):
-        # Multi-operand sort: values and original indices in ONE lax.sort
-        # (argsort + take_along_axis lowered to a 3.9 ms custom gather per
-        # decode on v5e; the co-sorted operand is free).
-        neg_sorted, pool_idx_sorted = jax.lax.sort(
-            (-pool,
-             jnp.broadcast_to(
-                 jnp.arange(N, dtype=jnp.int32)[None, :], (B, N)
-             )),
-            dimension=1, num_keys=1, is_stable=True,
-        )
-        vals_sorted = -neg_sorted
-        finite_sorted = vals_sorted > NEG / 2
-        is_cand_sorted = pool_idx_sorted >= W
-        origin_sorted = jnp.where(
-            is_cand_sorted, (pool_idx_sorted - W) // C, W
-        )  # branch rank; stays -> sentinel W
-        key_sorted = jnp.where(
-            is_cand_sorted, pool_idx_sorted - W, -1
-        )  # candidate order key i*C + l; stays -> -1 (before everything)
-        # sorted position of each stay's entry, by direct counting (the
-        # scatter-based rank table was a 2.4 ms custom kernel per decode):
-        # entries sorted before stay j = greater value, or equal value at
-        # a smaller pool index (stable sort tie order).
-        pos_stay_j = jnp.sum(
-            (
-                (vals_sorted[:, None, :] > stay_total[:, :, None])
-                | (
-                    (vals_sorted[:, None, :] == stay_total[:, :, None])
-                    & (pool_idx_sorted[:, None, :] < inv_perm[:, :, None])
-                )
-            ).astype(jnp.int32),
-            axis=2,
-        )  # (B, W)
-
-        # kappa (parent regen key) is defined before the dispatch tiers.
-
-        # Precomputed count structures over the sorted pool. All running
-        # counts are TRIANGULAR-MATRIX MXU MATMULS in f32 under
-        # Precision.HIGHEST (exact for counts <= N < 2^23): XLA lowers a
-        # long-axis jnp.cumsum as a padded reduce-window that measured
-        # 11.7 of the 14.3 ms slow branch on v5e — the matmuls are ~free.
-        hi = jax.lax.Precision.HIGHEST
-        tri = jnp.tril(jnp.ones((N, N), jnp.float32))  # tri[p,n]=1, n<=p
-        stays_mask = (
-            (~is_cand_sorted) & finite_sorted
-        ).astype(jnp.float32)  # (B, N)
-        stays_inc = jnp.einsum(
-            "bn,pn->bp", stays_mask, tri, precision=hi
-        )  # (B, N) inclusive stays count curve
-        origin_onehot = (
-            (origin_sorted[:, :, None] == iW[None, None, :])
-            & finite_sorted[:, :, None]
-        ).astype(jnp.float32)  # (B, N, W)
-        cand_inc = jnp.einsum(
-            "bnw,pn->wbp", origin_onehot, tri, precision=hi
-        )  # (W, B, N): entries from origin i among sorted[0..pos]
-        # (origin on the LEADING axis: the sweep loop dynamic-slices it,
-        # and lane-axis dynamic slices relayout on TPU)
-        # counts strictly ABOVE each stay's sorted position, as masked
-        # matmuls (no gathers into the big curves):
-        pos_rank = jnp.arange(N, dtype=jnp.int32)[None, None, :]
-        above_mask = (
-            pos_rank < pos_stay_j[:, :, None]
-        ).astype(jnp.float32)  # (B, Wj, N)
-        above = jnp.einsum(
-            "bnw,bjn->bjw", origin_onehot, above_mask, precision=hi
-        )  # (B, Wj, Wi): origin-i candidates above stay j
-        stays_above = jnp.einsum(
-            "bn,bjn->bj", stays_mask, above_mask, precision=hi
-        )  # (B, Wj)
-        # partial origin-pj count above stay j limited to labels < label_j
-        pj = jnp.where(parent_found, parent_idx, W)  # (B, W)
-        partial_pj = jnp.sum(
-            (
-                (origin_sorted[:, None, :] == pj[:, :, None])
-                & finite_sorted[:, None, :]
-                & (key_sorted[:, None, :] < kappa[:, :, None])
-            ).astype(jnp.float32)
-            * above_mask,
-            axis=2,
-        )  # (B, Wj)
-
-        # The W sweeps are UNROLLED (W is a small static constant): a
-        # fori_loop pays per-iteration while-loop overhead and blocks
-        # cross-sweep fusion, and the rolled body computed whole (B, W)
-        # rows where only column j is consumed. Each unrolled sweep is
-        # O(B*W + B*N) elementwise work, gather-free: the parent-open
-        # lookup is a one-hot any(), and the running bottom is a masked
-        # max over the inclusion curve (vals_sorted is descending, so the
-        # max over positions with count >= W IS the first-hit value).
+    # sweeps < j (well-founded), so an unrolled W-sweep loop carrying a
+    # running top-W value buffer computes the EXACT sequential answer — no
+    # Jacobi fixpoint (the previous formulation iterated (B,W,N) cumsums up
+    # to W+2 times; on peaked deployment posteriors it ran the full budget
+    # nearly every frame, ~19x slower per frame, measured), and no sorted
+    # pool / inclusion-count curves (replaced by _evict_counts + the top-W
+    # merge; the sorted-pool machinery was ~6 of the 9.5 ms slow-branch
+    # cost per decode at B=256, traced on v5e).
+    # (A pool shrink to stays + top-K candidates per branch was tried and
+    # REVERTED: candidates <= the worst stay are provably irrelevant, but
+    # any static cap on the rest can undercount the eviction priors — a
+    # dropped entry's in-branch beaters need not precede kappa_j — flipping
+    # the zeroing cascade on adversarial near-ties. Exactness wins. The
+    # running top-W buffer below is NOT that cap: counts never come from
+    # the buffer, only bottom VALUES, and the W-th largest included value
+    # is exactly the sequential bottom.)
+    def _exact_gates(counts):
+        stays_above, above_cnt, partial_pj, pj, _ = counts
+        cand_fin = jnp.sum(
+            cand > NEG / 2, axis=2, dtype=jnp.int32
+        )  # (B, Wi): finite candidates per branch (for the underfull test;
+        #    while underfull every finite attempted candidate inserts, and
+        #    past W both sides of the test saturate)
         open_ = jnp.zeros((B, W), bool)
-        S = stays_inc  # (B, N) inclusion count curve
+        zeroed_acc = jnp.zeros((B, W), bool)
+        # Running top-W VALUES of the included pool (stays + candidates of
+        # opened branches so far), descending; bottom = last lane. Value
+        # ties need no priority handling here: the W-th largest included
+        # value is the bottom regardless of which tied entry holds it.
+        R = s_total  # (B, W) sorted stays
+        n_inc = jnp.sum(s_total > NEG / 2, axis=1, dtype=jnp.int32)  # (B,)
         for j in range(W):
             # zeroing of branch j: its stay evicted before the parent's
             # regeneration attempt (parent decided in an earlier sweep)
@@ -402,13 +410,13 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
             par_open_j = jnp.any(open_ & (iW[None, :] == pj_j), axis=1)
             full_j = jnp.sum(
                 jnp.where((iW[None, :] < pj_j) & open_,
-                          above[:, j, :], 0.0),
+                          above_cnt[:, j, :], 0),
                 axis=1,
-            )  # (B,): opened origins strictly before parent
+            )  # (B,): candidates of opened branches before the parent
             prior_j = (
                 stays_above[:, j]
                 + full_j
-                + par_open_j.astype(jnp.float32) * partial_pj[:, j]
+                + jnp.where(par_open_j, partial_pj[:, j], 0)
             )
             zeroed_j = (
                 alive[:, j]
@@ -417,25 +425,46 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
                 & par_open_j
                 & (prior_j >= W)
             )
-            # bottom before sweep j from the current inclusion curve
-            count_total = S[:, -1]
-            bottom = jnp.max(
-                jnp.where(S >= W, vals_sorted, NEG), axis=1
-            )
             open_j = (
                 eligible[:, j]
                 & ~zeroed_j
-                & ((count_total < W) | (total[:, j] > bottom))
+                & ((n_inc < W) | (total[:, j] > R[:, W - 1]))
             )
             open_ = jnp.where(iW[None, :] == j, open_j[:, None], open_)
-            S = S + jnp.where(open_j[:, None], cand_inc[j], 0.0)
+            zeroed_acc = jnp.where(
+                iW[None, :] == j, zeroed_j[:, None], zeroed_acc
+            )
+            n_inc = n_inc + jnp.where(open_j, cand_fin[:, j], 0)
+            # merge branch j's candidates into the running top-W: one
+            # (B, W+C) top_k (~3 us at B=256 on v5e) per sweep
+            R = jax.lax.top_k(
+                jnp.concatenate(
+                    [R, jnp.where(open_j[:, None], cand[:, j, :], NEG)],
+                    axis=1,
+                ),
+                W,
+            )[0]
+        return open_, zeroed_acc
 
+    def slow_path(counts):
+        open_, _ = _exact_gates(counts)
         open_bc = jnp.repeat(open_, C, axis=1)  # (B, W*C) candidate gate
-        pool_masked = jnp.concatenate(
-            [s_total, jnp.where(open_bc, cand.reshape(B, W * C), NEG)],
-            axis=1,
+        cand_masked = jnp.where(open_bc, cand.reshape(B, W * C), NEG)
+        # Two-stage top-W with pool-order tie-breaks (ties: lowest pool
+        # index, stays before candidates). A direct top_k over the
+        # (B, 820) concat lowers as a FULL stable sort inside this cond
+        # branch (1.8 ms/decode at B=256, traced) — the same top_k in the
+        # unconditional dispatch prelude gets XLA's partial-sort lowering.
+        # Stage 1 over candidates keeps (value desc, index asc) order;
+        # stage 2's concat puts stays first, so equal values resolve to
+        # stays, then lower candidate index — identical to the pool order.
+        cv, ci = jax.lax.top_k(cand_masked, W)  # (B, W) candidate top-W
+        tv, mpos = jax.lax.top_k(
+            jnp.concatenate([s_total, cv], axis=1), W
         )
-        tv, ti = jax.lax.top_k(pool_masked, W)  # ties: lowest index
+        oh = (mpos - W)[:, :, None] == iW[None, None, :]
+        cpick = jnp.sum(jnp.where(oh, ci[:, None, :], 0), axis=2)
+        ti = jnp.where(mpos < W, mpos, W + cpick)
         return tv, ti
 
     if force_fast:  # debug/benchmark knob: skip the exactness fallback
@@ -472,11 +501,77 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False):
     bp_src = src.astype(jnp.int32)
     bp_label = jnp.where(is_stay | ~n_alive, -1, cand_label).astype(jnp.int32)
 
+    new_state = (n_total, n_p_b, n_p_nb, n_hash, n_parent_hash, n_last_label,
+                 n_length, n_alive)
+    if diag:
+        dcounts = _evict_counts()
+        ex_open, ex_zeroed = _exact_gates(dcounts)
+        diag_out = (
+            cheap_s, _bound_safe(dcounts), ok_a, ok_c,
+            jnp.all(~bsel | cheap_safe, axis=1),
+            bsel, cheap_safe, ex_open, ex_zeroed,
+        )
+        return new_state, (bp_src, bp_label), diag_out
+    return new_state, (bp_src, bp_label)
+
+
+def _init_state(B: int, W: int):
+    """Initial beam state: root (empty prefix) alone."""
     return (
-        (n_total, n_p_b, n_p_nb, n_hash, n_parent_hash, n_last_label,
-         n_length, n_alive),
-        (bp_src, bp_label),
+        jnp.full((B, W), NEG).at[:, 0].set(0.0),     # total
+        jnp.full((B, W), NEG).at[:, 0].set(0.0),     # p_b
+        jnp.full((B, W), NEG),                       # p_nb
+        jnp.zeros((B, W), jnp.uint32),               # hashes
+        jnp.full((B, W), ROOT_SENTINEL),             # parent_hash
+        jnp.full((B, W), -1, jnp.int32),             # last_label
+        jnp.zeros((B, W), jnp.int32),                # length
+        jnp.zeros((B, W), bool).at[:, 0].set(True),  # alive
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("beam_width",)
+)
+def ctc_beam_tier_stats(
+    y_pred: jnp.ndarray,
+    input_length: jnp.ndarray,
+    beam_width: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(frame, sample) dispatch-tier admission for the exact decoder.
+
+    Measurement tool (tools/diag_beam_tiers.py): returns boolean ``(T, B)``
+    arrays ``(cheap, bound, ok_a, ok_c, ok_zero_cheap)`` — whether the
+    tier-1 syntactic proof / tier-2 eviction bound admit each sample's fast
+    path at each frame, plus tier-1's individual components. The decode
+    state itself advances through the normal (exact) dispatch, so the trace
+    matches production behavior.
+    """
+    B, T, C = y_pred.shape
+    W = beam_width
+    lp_all = jax.nn.log_softmax(
+        jnp.log(y_pred.astype(jnp.float32) + KERAS_EPSILON), axis=-1
+    )
+    input_length = input_length.astype(jnp.int32).reshape(B)
+
+    def step(state, inp):
+        lp, t = inp
+        new_state, _, diag_out = _beam_step(
+            state, lp, W=W, C=C, diag=True
+        )
+        frozen = (t >= input_length)[:, None]
+        out_state = tuple(
+            jnp.where(frozen, old, new)
+            for old, new in zip(state, new_state)
+        )
+        return out_state, tuple(
+            d | (frozen if d.ndim == 2 else frozen[:, 0]) for d in diag_out
+        )
+
+    ts = jnp.arange(T, dtype=jnp.int32)
+    _, diag = jax.lax.scan(
+        step, _init_state(B, W), (jnp.transpose(lp_all, (1, 0, 2)), ts)
+    )
+    return diag
 
 
 @functools.partial(
@@ -516,15 +611,7 @@ def ctc_beam_search_decode_tf(
     )
     input_length = input_length.astype(jnp.int32).reshape(B)
 
-    # Initial beam: root (empty prefix) alone.
-    total0 = jnp.full((B, W), NEG).at[:, 0].set(0.0)
-    p_b0 = jnp.full((B, W), NEG).at[:, 0].set(0.0)
-    p_nb0 = jnp.full((B, W), NEG)
-    hash0 = jnp.zeros((B, W), jnp.uint32)
-    parent_hash0 = jnp.full((B, W), ROOT_SENTINEL)
-    last_label0 = jnp.full((B, W), -1, jnp.int32)
-    length0 = jnp.zeros((B, W), jnp.int32)
-    alive0 = jnp.zeros((B, W), bool).at[:, 0].set(True)
+    state0 = _init_state(B, W)
 
     def step(state, inp):
         lp, t = inp
@@ -541,8 +628,6 @@ def ctc_beam_search_decode_tf(
         bp_label = jnp.where(frozen, -1, bp_label)
         return out_state, (bp_src, bp_label)
 
-    state0 = (total0, p_b0, p_nb0, hash0, parent_hash0, last_label0,
-              length0, alive0)
     ts = jnp.arange(T, dtype=jnp.int32)
     (total, _, _, _, _, _, _, alive), (bps, bpl) = jax.lax.scan(
         step, state0, (jnp.transpose(lp_all, (1, 0, 2)), ts)
