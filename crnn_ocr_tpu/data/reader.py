@@ -71,6 +71,44 @@ class Reader:
         n_val = int(len(self.samples) * cfg.val_fraction)
         self._val_idx = order[:n_val]
         self._train_idx = order[n_val:]
+        # Persistent image-size sidecar: bucket planning (and resume's
+        # skip fast-forward) needs every image's (h, w) but NOT its pixels.
+        # Sizes are decoded lazily on first sight, cached here, and written
+        # back to ``<path>/.crnn_sizes.json`` so later epochs/processes
+        # (notably --resume, SURVEY.md §5.4) plan the whole batch stream
+        # with zero image decodes. Read-only data dirs degrade gracefully
+        # to the in-memory cache.
+        self._sizes_path = os.path.join(cfg.path, ".crnn_sizes.json")
+        self._size_cache: Dict[str, Tuple[int, int]] = {}
+        self._sizes_dirty = 0
+        try:
+            import json
+
+            with open(self._sizes_path) as f:
+                raw = json.load(f)
+            self._size_cache = {k: (int(v[0]), int(v[1]))
+                                for k, v in raw.items()}
+        except (OSError, ValueError):
+            pass
+
+    def _size_key(self, i: int) -> str:
+        return os.path.relpath(self.samples[i][0], self.cfg.path)
+
+    def _flush_sizes(self) -> None:
+        """Atomically persist newly discovered sizes (best effort)."""
+        if not self._sizes_dirty:
+            return
+        self._sizes_dirty = 0
+        try:
+            import json
+
+            tmp = self._sizes_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({k: list(v) for k, v in self._size_cache.items()},
+                          f)
+            os.replace(tmp, self._sizes_path)
+        except OSError:
+            pass  # read-only data dir: keep the in-memory cache only
 
     # ---- discovery ----
 
@@ -117,6 +155,9 @@ class Reader:
     def bucket_of(self, img: np.ndarray) -> int:
         """Smallest bucket width >= aspect-preserved content width."""
         h, w = img.shape[:2]
+        return self._bucket_for_size(h, w)
+
+    def _bucket_for_size(self, h: int, w: int) -> int:
         w_new = int(round(w * self.cfg.height / h))
         for b in self.cfg.buckets:
             if w_new <= b:
@@ -134,6 +175,7 @@ class Reader:
             # bucket from stored size cache to avoid double decode
             b = self._size_bucket(int(i))
             by_bucket.setdefault(b, []).append(int(i))
+        self._flush_sizes()  # persist any sizes this planning discovered
         batches = []
         for b, lst in sorted(by_bucket.items()):
             for k in range(0, len(lst), self.cfg.batch_size):
@@ -146,12 +188,14 @@ class Reader:
         return batches
 
     def _size_bucket(self, i: int) -> int:
-        if not hasattr(self, "_bucket_cache"):
-            self._bucket_cache: Dict[int, int] = {}
-        if i not in self._bucket_cache:
+        key = self._size_key(i)
+        size = self._size_cache.get(key)
+        if size is None:
             img = self._load_image(self.samples[i][0])
-            self._bucket_cache[i] = self.bucket_of(img)
-        return self._bucket_cache[i]
+            size = (int(img.shape[0]), int(img.shape[1]))
+            self._size_cache[key] = size
+            self._sizes_dirty += 1
+        return self._bucket_for_size(*size)
 
     def run_generator(
         self, train: bool = True, epochs: Optional[int] = None,
@@ -168,6 +212,11 @@ class Reader:
         stream (SURVEY.md §5.4 data-iterator state — here the iterator
         state is a pure function of (seed, config, global step), so the
         step already persisted in the checkpoint fully determines it).
+        With a populated ``.crnn_sizes.json`` sidecar (written by any prior
+        epoch or run over the same data), planning itself issues ZERO image
+        decodes, so resume startup is O(1) in corpus size from the very
+        first epoch; on a cold corpus only the first planning pass decodes
+        (once per image), then persists.
         """
         from crnn_ocr_tpu.ops.preprocess import pack_canvas
 

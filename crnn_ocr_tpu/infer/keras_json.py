@@ -248,19 +248,42 @@ def infer_name_map_from_h5(path: str):
             elif not seen_rnn:
                 name_map["time_dense"] = name
                 time_dense = units
+                time_dense_in = shapes[0][0]
             else:
                 name_map["logits"] = name
                 logits_dim = units
 
     if logits_dim is None:
         raise ValueError("could not locate the logits Dense layer in h5")
+    # Pools are not recoverable from bare weights; the reference's height-32
+    # collapse (stem (2,2), then (2,2)(2,1)...(2,1)) is assumed — but the
+    # time_dense kernel's input dim (final_h x last_filters) PINS the
+    # height-pool product, so validate instead of silently guessing
+    # (SURVEY.md C8; a mis-pooled model would import cleanly and decode
+    # garbage otherwise).
+    assumed_pools = ((2, 2),) + ((2, 1),) * (len(block_filters) - 1)
+    height = 32
+    if block_filters and time_dense is not None:
+        pool_h = 2  # stem pool
+        for ph, _ in assumed_pools:
+            pool_h *= ph
+        final_h = height // pool_h
+        expected = final_h * block_filters[-1]
+        if final_h < 1 or time_dense_in != expected:
+            raise ValueError(
+                f"cannot infer pooling from bare .h5 weights: the "
+                f"time_dense kernel input dim is {time_dense_in}, but the "
+                f"assumed height-{height} pool ladder (stem (2,2) + blocks "
+                f"{assumed_pools}) collapses to final_h={max(final_h, 0)} "
+                f"x {block_filters[-1]} channels = {expected}. This model "
+                f"uses a different pooling/height; provide the saved "
+                f"architecture JSON (model_config_from_keras_json) instead."
+            )
     mc = ModelConfig(
         num_classes=logits_dim - 1,
         stem_filters=stem_filters or 64,
         block_filters=tuple(block_filters),
-        # pools are not recoverable from weights; the reference's height-32
-        # collapse (stem (2,2), then (2,2)(2,1)(2,1)(2,1)) is assumed
-        block_pools=((2, 2),) + ((2, 1),) * (len(block_filters) - 1),
+        block_pools=assumed_pools,
         time_dense_size=time_dense or 128,
         n_units=n_units or 256,
         rnn_layers=rnn_layers,

@@ -118,7 +118,7 @@ class DepthwiseSeparableBlock(nn.Module):
     dtype: jnp.dtype
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_mask=None):
         in_ch = x.shape[-1]
         x = nn.Conv(
             in_ch,
@@ -139,7 +139,7 @@ class DepthwiseSeparableBlock(nn.Module):
         x = nn.BatchNorm(
             use_running_average=not train, dtype=self.dtype,
             epsilon=1e-3, momentum=0.99,  # Keras BN defaults (parity)
-        )(x)
+        )(x, mask=bn_mask)
         x = nn.relu(x)
         if self.pool != (1, 1):
             # nn.max_pool's select-and-scatter backward was profiled against
@@ -236,12 +236,28 @@ class CRNN(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, valid_mask=None
+    ) -> jnp.ndarray:
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         x = x.astype(dtype)
         if x.ndim == 3:
             x = x[..., None]
+
+        # DP divisibility padding (parallel.mesh.pad_batch_to): when a
+        # valid_mask marks pad rows, BatchNorm batch statistics are computed
+        # over VALID rows only (flax's masked moments), so padded all-zero
+        # images cannot perturb the normalization of real samples — the
+        # padded step is exactly the unpadded step (SURVEY.md §2.3 DP
+        # correctness; asserted incl. batch_stats by
+        # tests/test_parallel.py::test_padded_batch_step_matches_unpadded).
+        # In eval (use_running_average=True) the mask is irrelevant.
+        bn_mask4 = bn_mask3 = None
+        if valid_mask is not None and train:
+            vm = valid_mask.reshape(-1).astype(bool)
+            bn_mask4 = vm[:, None, None, None]
+            bn_mask3 = vm[:, None, None]
 
         if cfg.use_stn:
             x = STN(
@@ -263,7 +279,12 @@ class CRNN(nn.Module):
                 name="stem_bn", epsilon=1e-3, momentum=0.99,
             )
 
-        if self._fused_stem_active(x, train) and train:
+        # The fused stem kernels compute BN batch stats over ALL rows; with
+        # a pad mask present the masked-moments path below must own the
+        # stats, so the kernel is bypassed (pad only occurs on ragged final
+        # batches — a static, rare fallback).
+        fused_ok = bn_mask4 is None and self._fused_stem_active(x, train)
+        if fused_ok and train:
             from crnn_ocr_tpu.kernels.fused_stem_train import (
                 fused_stem_train_dispatch,
             )
@@ -283,7 +304,7 @@ class CRNN(nn.Module):
                 jax.lax.stop_gradient(b_mean),
                 jax.lax.stop_gradient(b_var),
             )
-        elif self._fused_stem_active(x, train):
+        elif fused_ok:
             from crnn_ocr_tpu.kernels.fused_stem import fused_stem_dispatch
 
             # Dummy calls create the identical param/batch_stats tree; the
@@ -304,7 +325,7 @@ class CRNN(nn.Module):
             )
         else:
             x = stem_conv(x)
-            x = make_bn()(x)
+            x = make_bn()(x, mask=bn_mask4)
             x = nn.relu(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
@@ -318,7 +339,7 @@ class CRNN(nn.Module):
                 dropout_rate=cfg.dropout_rate,
                 dtype=dtype,
                 name=f"block{i}",
-            )(x, train=train)
+            )(x, train=train, bn_mask=bn_mask4)
 
         # Collapse height into features: (B, H', T, C) -> (B, T, H'*C).
         B, Hp, T, C = x.shape
@@ -338,7 +359,7 @@ class CRNN(nn.Module):
             x = nn.BatchNorm(
                 use_running_average=not train, dtype=dtype, name=f"rnn_bn{i}",
                 epsilon=1e-3, momentum=0.99,
-            )(x)
+            )(x, mask=bn_mask3)
 
         logits = nn.Dense(
             cfg.logits_dim, dtype=jnp.float32, name="logits"

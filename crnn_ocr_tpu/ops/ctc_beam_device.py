@@ -41,8 +41,13 @@ but it decomposes exactly into vectorized passes:
      replaced it was exact but paid two (B, 820) stable sorts plus
      count-curve einsums per frame — ~2/3 of the slow-branch cost.)
 
-Everything else is bookkeeping: prefix identities are rolling hashes
-(collision odds ~W^2 * 2^-32 per step), and prefixes are reconstructed
+Everything else is bookkeeping: prefix identities are PAIRED independent
+32-bit rolling hashes — both must match for a parent/child link, so the
+silent-collision odds are ~W^2 * 2^-64 per step per sample (~1e-17 at
+W=10, vs ~1.4e-6 per decoded sample for a single 32-bit hash at T~60 —
+material for a resident daemon decoding millions of lines; jax's default
+x64-disable would silently downcast a uint64 hash, hence the pair), and
+prefixes are reconstructed
 AFTER the scan from per-step backpointers — no (B, W, T) prefix buffer in
 the hot loop, which is also why this decoder is *faster* than the previous
 vectorized approximate one.
@@ -77,6 +82,7 @@ NEG = -1e30
 # np scalars, not jnp: module import must not initialize the JAX backend
 # (one TPU grant per host; imports can happen while another process holds it)
 HASH_P = np.uint32(1000003)
+HASH_P2 = np.uint32(16777619)  # FNV-32 prime; independent second rolling hash
 ROOT_SENTINEL = np.uint32(0xFFFFFFFF)
 
 
@@ -106,17 +112,20 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
     proof and the tier-2 eviction bound would individually admit this
     frame — for tier-hit-rate measurement (tools/diag_beam_tiers.py).
     """
-    (total, p_b, p_nb, hashes, parent_hash, last_label, length, alive) = state
+    (total, p_b, p_nb, hashes, hashes2, parent_hash, parent_hash2,
+     last_label, length, alive) = state
     lp = inputs  # (B, C) log_softmax(log(p+eps)) for this frame
     B = lp.shape[0]
     blank = C - 1
     iW = jnp.arange(W)
 
     # ---------------- Phase 1: stay updates (vectorized) ----------------
-    # Parent of slot j = alive slot k with hash_k == parent_hash_j and
-    # length_k == length_j - 1 (prefix uniqueness -> at most one match).
+    # Parent of slot j = alive slot k with hash_k == parent_hash_j (BOTH
+    # independent hashes) and length_k == length_j - 1 (prefix uniqueness
+    # -> at most one match).
     pmatch = (
         (hashes[:, None, :] == parent_hash[:, :, None])
+        & (hashes2[:, None, :] == parent_hash2[:, :, None])
         & (length[:, None, :] == length[:, :, None] - 1)
         & alive[:, None, :]
         & alive[:, :, None]
@@ -177,6 +186,7 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
     # and skipped; evicted -> regeneration always rejected).
     child_of = (
         (parent_hash[:, None, :] == hashes[:, :, None])
+        & (parent_hash2[:, None, :] == hashes2[:, :, None])
         & (length[:, None, :] == length[:, :, None] + 1)
         & alive[:, None, :]
         & alive[:, :, None]
@@ -190,20 +200,22 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
     cand = jnp.where(excl | dead_col | ~alive[:, :, None], NEG, cand)
 
     # Pool: [sorted stays (W), candidates (W*C, (branch, label) order)].
-    # (A per-branch top-(W+1) prefilter is provably lossless but measured
-    # SLOWER on v5e — many small top_k/argsort rows lower worse than one
-    # wide top_k — so the pool stays full-width.)
     eligible = alive & (total > NEG / 2)
 
     # Per-branch candidate top-(W+1): any candidate in the pool's top-(W+1)
-    # is within its own branch's top-(W+1), so one reshaped (B*W, C) top_k
-    # + a narrow merge replaces the top_k over the (B, W+W*C) pool — which
-    # lowers as a FULL 820-lane stable sort (61 us/frame at B=256, traced;
-    # half the fast-path cost). Per-branch ties keep label-ascending order
-    # and the merge concat keeps [stays | branch 0 | branch 1 | ...], so
-    # the lexicographic pool priority (value desc; stays before candidates;
-    # lower branch, then lower label) is preserved exactly.
-    K1 = W + 1
+    # is within its own branch's top-(W+1) (fewer than W+1 higher-priority
+    # entries globally implies fewer than W+1 within its branch), so one
+    # reshaped (B*W, C) top_k + a narrow merge replaces the top_k over the
+    # (B, W+W*C) pool — which lowers as a FULL 820-lane stable sort
+    # (61 us/frame at B=256, traced; half the fast-path cost). An earlier
+    # many-small-rows variant of this prefilter measured slower on v5e;
+    # the single reshaped (B*W, C) top_k is what makes it pay. Per-branch
+    # ties keep label-ascending order and the merge concat keeps
+    # [stays | branch 0 | branch 1 | ...], so the lexicographic pool
+    # priority (value desc; stays before candidates; lower branch, then
+    # lower label) is preserved exactly — values AND mapped indices of the
+    # reduced-pool top-(W+1) equal the full pool's.
+    K1 = min(W + 1, C)  # a branch has only C candidates; min() stays lossless
     cv_b, ci_b = jax.lax.top_k(cand.reshape(B * W, C), K1)
     cv_b = cv_b.reshape(B, W, K1)  # (B, W, K1) values, desc
     pool_idx_b = (
@@ -242,7 +254,10 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
     # to the full eviction bound (measured: cheap_ok == fast_ok, zero
     # rescues), so the expensive bound runs only in the fallback branch of
     # a nested cond — off the common path entirely.
-    topv1, topi1 = jax.lax.top_k(pool, W + 1)
+    small_pool = jnp.concatenate(
+        [s_total, cv_b.reshape(B, W * K1)], axis=1
+    )  # (B, W + W*K1): lossless prefiltered pool in full-pool priority order
+    topv1, topi1 = _topk_small(small_pool, W + 1)
     bottom_final = topv1[:, W - 1]  # (B,)
     sel_idx = topi1[:, :W]
     sel_is_cand = sel_idx >= W
@@ -489,20 +504,20 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
     n_p_b = jnp.where(is_stay, gather(new_p_b), NEG)
     n_p_nb = jnp.where(is_stay, gather(new_p_nb), top_vals)
     src_hash = gather(hashes)
-    n_hash = jnp.where(
-        is_stay,
-        src_hash,
-        src_hash * HASH_P + (cand_label + 1).astype(jnp.uint32),
-    )
+    src_hash2 = gather(hashes2)
+    lab1 = (cand_label + 1).astype(jnp.uint32)
+    n_hash = jnp.where(is_stay, src_hash, src_hash * HASH_P + lab1)
+    n_hash2 = jnp.where(is_stay, src_hash2, src_hash2 * HASH_P2 + lab1)
     n_parent_hash = jnp.where(is_stay, gather(parent_hash), src_hash)
+    n_parent_hash2 = jnp.where(is_stay, gather(parent_hash2), src_hash2)
     n_last_label = jnp.where(is_stay, gather(last_label), cand_label)
     n_length = jnp.where(is_stay, gather(length), gather(length) + 1)
     n_alive = top_vals > NEG / 2
     bp_src = src.astype(jnp.int32)
     bp_label = jnp.where(is_stay | ~n_alive, -1, cand_label).astype(jnp.int32)
 
-    new_state = (n_total, n_p_b, n_p_nb, n_hash, n_parent_hash, n_last_label,
-                 n_length, n_alive)
+    new_state = (n_total, n_p_b, n_p_nb, n_hash, n_hash2, n_parent_hash,
+                 n_parent_hash2, n_last_label, n_length, n_alive)
     if diag:
         dcounts = _evict_counts()
         ex_open, ex_zeroed = _exact_gates(dcounts)
@@ -522,7 +537,9 @@ def _init_state(B: int, W: int):
         jnp.full((B, W), NEG).at[:, 0].set(0.0),     # p_b
         jnp.full((B, W), NEG),                       # p_nb
         jnp.zeros((B, W), jnp.uint32),               # hashes
+        jnp.zeros((B, W), jnp.uint32),               # hashes2
         jnp.full((B, W), ROOT_SENTINEL),             # parent_hash
+        jnp.full((B, W), ROOT_SENTINEL),             # parent_hash2
         jnp.full((B, W), -1, jnp.int32),             # last_label
         jnp.zeros((B, W), jnp.int32),                # length
         jnp.zeros((B, W), bool).at[:, 0].set(True),  # alive
@@ -536,15 +553,19 @@ def ctc_beam_tier_stats(
     y_pred: jnp.ndarray,
     input_length: jnp.ndarray,
     beam_width: int = 10,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, ...]:
     """Per-(frame, sample) dispatch-tier admission for the exact decoder.
 
-    Measurement tool (tools/diag_beam_tiers.py): returns boolean ``(T, B)``
-    arrays ``(cheap, bound, ok_a, ok_c, ok_zero_cheap)`` — whether the
-    tier-1 syntactic proof / tier-2 eviction bound admit each sample's fast
-    path at each frame, plus tier-1's individual components. The decode
-    state itself advances through the normal (exact) dispatch, so the trace
-    matches production behavior.
+    Measurement tool (tools/diag_beam_tiers.py): returns a 9-tuple of
+    boolean arrays, stacked over frames —
+    ``(cheap, bound, ok_a, ok_c, ok_zero_cheap)`` each ``(T, B)`` (whether
+    the tier-1 syntactic proof / tier-2 eviction bound admit each sample's
+    fast path at each frame, plus tier-1's individual components), followed
+    by ``(bsel, cheap_safe, exact_open, exact_zeroed)`` each ``(T, B, W)``
+    (per-branch selection/safety flags and the exact tier's gate activity).
+    The decode STATE advances through the normal (exact) dispatch, so the
+    state trace matches production; the COST does not — diag mode pays the
+    exact-tier gate computation on every frame by design.
     """
     B, T, C = y_pred.shape
     W = beam_width
@@ -629,7 +650,7 @@ def ctc_beam_search_decode_tf(
         return out_state, (bp_src, bp_label)
 
     ts = jnp.arange(T, dtype=jnp.int32)
-    (total, _, _, _, _, _, _, alive), (bps, bpl) = jax.lax.scan(
+    (total, _, _, _, _, _, _, _, _, alive), (bps, bpl) = jax.lax.scan(
         step, state0, (jnp.transpose(lp_all, (1, 0, 2)), ts)
     )
 

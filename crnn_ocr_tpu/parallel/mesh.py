@@ -79,9 +79,10 @@ def pad_batch_to(batch: Dict[str, Any], size: int) -> Dict[str, Any]:
     Padded samples get input_length=1 and label_length=0 (their raw loss is
     -log p(blank) for one frame, NOT zero), so a ``valid_mask`` float array
     is added: the train step computes a masked mean, zeroing the padding's
-    loss and gradient contribution exactly. Caveat: padded all-zero images
-    still pass the forward and perturb global-batch BatchNorm statistics
-    slightly; prefer global_batch % n_devices == 0 where possible.
+    loss and gradient contribution exactly, and threads the mask into the
+    model's BatchNorm layers so batch statistics are computed over valid
+    rows only — a padded step is bit-equivalent to the unpadded step,
+    including updated batch_stats.
     """
     b = next(v.shape[0] for v in batch.values() if hasattr(v, "shape"))
     if b == size:

@@ -169,10 +169,10 @@ def make_train_step(
 
     Batches may carry an optional ``valid_mask`` (added by
     ``parallel.mesh.pad_batch_to``): the loss is then a masked mean, so
-    divisibility padding contributes zero gradient. (Padded all-zero images
-    still pass through the forward and nudge BatchNorm batch statistics;
-    with momentum 0.99 and padding only on ragged final batches this is
-    negligible, but prefer globally divisible batches.)
+    divisibility padding contributes zero gradient, AND the mask is threaded
+    into the model so BatchNorm batch statistics are computed over valid
+    rows only — the padded step matches the unpadded step exactly,
+    including updated batch_stats.
     """
     if use_pallas_ctc is None:
         use_pallas_ctc = jax.default_backend() in ("tpu", "axon")
@@ -182,11 +182,14 @@ def make_train_step(
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         dropout_rng = jax.random.fold_in(rng, state.step)
 
+        mask = batch.get("valid_mask")
+
         def loss_fn(params):
             logits, mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["x"][..., None],
                 train=True,
+                valid_mask=mask,
                 mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng},
             )
@@ -205,7 +208,6 @@ def make_train_step(
             # ~inf loss; clip its contribution so one bad line can't nuke
             # the step.
             loss_vec = jnp.minimum(loss_vec, 1e4)
-            mask = batch.get("valid_mask")
             if mask is None:
                 loss = jnp.mean(loss_vec)
             else:

@@ -248,3 +248,35 @@ def test_migrate_cli_roundtrip(tmp_path, monkeypatch, variant):
         m3.apply({"params": params3, "batch_stats": stats3}, x,
                  train=False), axis=-1))
     np.testing.assert_allclose(y3, y_keras, rtol=1e-4, atol=2e-5)
+
+
+def test_infer_name_map_rejects_mispooled_h5(tmp_path):
+    """VERDICT r2 #5: a bare .h5 whose pooling differs from the assumed
+    height-32 ladder must FAIL LOUDLY (the time_dense kernel input dim
+    pins final_h x channels), not import cleanly and decode garbage."""
+    import shutil
+
+    import h5py
+
+    from crnn_ocr_tpu.infer.keras_json import infer_name_map_from_h5
+
+    src = GOLDENS / "migration_autonamed" / "model.h5"
+    if not src.exists():
+        pytest.skip("run tools/gen_keras_parity.py")
+    dst = tmp_path / "mispooled.h5"
+    shutil.copy(src, dst)
+    with h5py.File(dst, "r+") as f:
+        g = f["model_weights"] if "model_weights" in f else f
+        lg = g["dense"]  # the time_dense layer in the golden
+        k = np.asarray(lg["dense/kernel:0"])
+        # double the input dim: the model this came from pooled height to
+        # final_h=2, not 1 — incompatible with the assumed ladder
+        del lg["dense/kernel:0"]
+        lg.create_dataset(
+            "dense/kernel:0", data=np.concatenate([k, k], axis=0)
+        )
+    with pytest.raises(ValueError, match="pool"):
+        infer_name_map_from_h5(str(dst))
+    # and the pristine file still passes the validation
+    cfg, _ = infer_name_map_from_h5(str(src))
+    assert cfg.block_filters == (16, 16, 24, 24)

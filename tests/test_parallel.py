@@ -110,8 +110,8 @@ def test_pad_batch_to():
 def test_padded_batch_step_matches_unpadded(setup):
     """valid_mask must zero the padding's loss/grad contribution exactly:
     the step result cannot depend on the padded rows' labels or lengths.
-    (The loss is only CLOSE to the unpadded batch's — padded zero images
-    still shift train-mode BatchNorm batch statistics, as documented.)"""
+    And with masked BatchNorm moments, the padded step must equal the
+    unpadded step to fp tolerance INCLUDING updated batch_stats."""
     cfg, state, batch = setup
     rng = jax.random.key(11)
     train_step = make_train_step(cfg, donate=False)
@@ -142,10 +142,28 @@ def test_padded_batch_step_matches_unpadded(setup):
         jax.tree_util.tree_leaves(s_g.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
-    # and the masked mean tracks the unpadded loss up to the BN-stat shift
+    # padded step == unpadded step: loss, params, AND batch_stats (masked
+    # BN moments exclude the pad rows entirely; remaining differences are
+    # cross-device reduction order only)
     np.testing.assert_allclose(
-        float(m_ref["loss"]), float(m_pad["loss"]), rtol=2e-2
+        float(m_ref["loss"]), float(m_pad["loss"]), rtol=1e-5
     )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_ref.params),
+        jax.tree_util.tree_leaves(s_pad.params),
+    ):
+        # atol 2e-4: Adam's m/sqrt(v) at step 1 amplifies cross-device
+        # reduction-order noise on near-zero-gradient elements
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_ref.batch_stats),
+        jax.tree_util.tree_leaves(s_pad.batch_stats),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
 
 
 def test_fit_pads_ragged_batches_on_mesh():

@@ -39,7 +39,8 @@ def make_posteriors(kind: str, B: int, T: int, C: int, seed: int = 0):
 def report(kind: str, B: int = 32, T: int = 30, C: int = 81, W: int = 10):
     probs = make_posteriors(kind, B, T, C)
     il = np.full((B,), T, np.int32)
-    cheap, bound, ok_a, ok_c, ok_zc = jax.device_get(
+    (cheap, bound, ok_a, ok_c, ok_zc,
+     bsel, cheap_safe, ex_open, ex_zeroed) = jax.device_get(
         ctc_beam_tier_stats(jnp.asarray(probs), jnp.asarray(il), W)
     )
     fast = cheap | bound  # tier-2 admits everything tier-1 admits
@@ -58,6 +59,12 @@ def report(kind: str, B: int = 32, T: int = 30, C: int = 81, W: int = 10):
     # where do rejections cluster in time?
     rej = (~fast).sum(axis=1)
     print(f"  rejected samples per frame (first 30): {rej[:30].tolist()}")
+    # exact-tier gate activity (how often the sequential pass actually
+    # gates/zeroes anything — i.e. how hard the slow tier works)
+    print(f"  exact-tier: mean open branches/frame "
+          f"{ex_open.sum(axis=2).mean():.2f}  "
+          f"zeroing events/frame {ex_zeroed.sum(axis=2).mean():.4f}  "
+          f"branches w/ selected cands/frame {bsel.sum(axis=2).mean():.2f}")
 
 
 if __name__ == "__main__":
