@@ -126,6 +126,7 @@ def test_device_beam_freeze_and_collapsed_beam():
     assert np.isinf(logp[1, 3]) and logp[1, 3] < 0
 
 
+@pytest.mark.slow
 def test_vectorized_beam_matches_oracle_on_peaky_goldens(goldens):
     """The on-device vectorized beam search matches the oracle's TOP-1 path
     and score on peaky (realistic OCR posterior) golden cases — the odd-index
@@ -151,6 +152,44 @@ def test_vectorized_beam_matches_oracle_on_peaky_goldens(goldens):
             np.asarray(logp)[:, 0], want_logp[:, 0], rtol=1e-3, atol=1e-3,
             err_msg=f"case {i}",
         )
+
+
+def test_device_beam_multiblock_mixed_tiers():
+    """B spanning several dispatch sub-blocks, with near-tie (slow-tier)
+    rows confined to the middle block: per-sub-block dispatch must return
+    bit-identical results to the host exact decoder on every row — the
+    blocks that stay on the fast tier AND the block that falls through to
+    the bound/exact tiers (and the ragged final block)."""
+    from crnn_ocr_tpu.ops.ctc_beam_device import (
+        DISPATCH_BLOCK, ctc_beam_search_decode_tf)
+    from crnn_ocr_tpu.ops.ctc_beam_exact import ctc_beam_search_decode_exact
+
+    rng = np.random.default_rng(11)
+    B = 2 * DISPATCH_BLOCK + 6  # 3 blocks, last one ragged
+    T, C, bw, tp = 12, 7, 6, 2
+    probs = np.exp(6 * rng.random((B, T, C))).astype(np.float32)  # peaky
+    # near-uniform rows (cheap-proof bait) only in the middle block
+    flat = 1.0 + 0.01 * rng.random((8, T, C))
+    probs[DISPATCH_BLOCK:DISPATCH_BLOCK + 8] = flat.astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    il = rng.integers(1, T + 1, (B,)).astype(np.int32)
+
+    dec_h, logp_h = ctc_beam_search_decode_exact(
+        probs, il, beam_width=bw, top_paths=tp
+    )
+    dec_d, logp_d = ctc_beam_search_decode_tf(
+        probs, il, beam_width=bw, top_paths=tp
+    )
+    dec_d, logp_d = np.asarray(dec_d), np.asarray(logp_d)
+    for p in range(tp):
+        np.testing.assert_array_equal(
+            _trim_cols(dec_d[p]), _trim_cols(dec_h[p]), err_msg=f"path {p}"
+        )
+    finite = np.isfinite(logp_h)
+    np.testing.assert_array_equal(np.isfinite(logp_d), finite)
+    np.testing.assert_allclose(
+        logp_d[finite], logp_h[finite], rtol=5e-4, atol=5e-4
+    )
 
 
 def test_beam_reduces_to_greedy_on_peaky_input():

@@ -12,6 +12,7 @@ import pytest
 from crnn_ocr_tpu.ops import ctc
 
 
+@pytest.mark.slow
 def test_ctc_batch_cost_matches_keras_goldens(goldens):
     data = goldens("ctc_loss.npz")
     n = int(data["n_cases"])

@@ -65,6 +65,7 @@ def test_cer_sums_from_dense_decode():
     assert int(s) == 0 + 1 + 1 and int(t) == 6
 
 
+@pytest.mark.slow
 def test_evaluate_on_device_cer_matches_host():
     from crnn_ocr_tpu.data.pipeline import device_batches, synthetic_batches
     from crnn_ocr_tpu.models import ModelConfig

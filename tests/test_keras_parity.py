@@ -201,6 +201,7 @@ def test_reference_artifact_migration_zero_config(variant):
     assert cfg2.use_stn == cfg1.use_stn
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("variant", ["autonamed", "autonamed_stn"])
 def test_migrate_cli_roundtrip(tmp_path, monkeypatch, variant):
     """crnn-ocr-migrate import -> predictor-loadable TPU model dir ->

@@ -515,6 +515,7 @@ def test_fused_stem_serve_f32_precision():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_crnn_serve_with_fused_stem_matches_xla_path():
     """Full CRNN bf16 serve forward, fused stem (interpret) vs XLA stem."""
     import dataclasses
@@ -551,6 +552,7 @@ def test_crnn_serve_with_fused_stem_matches_xla_path():
     )
 
 
+@pytest.mark.slow
 def test_fused_stem_train_matches_xla_reference():
     """fused_stem_train (interpret, f32): pooled/stats forward AND
     (d_w, d_gamma, d_beta) vs jax.grad of the XLA conv+batchBN+relu+pool
@@ -611,6 +613,7 @@ def test_fused_stem_train_matches_xla_reference():
                                    rtol=2e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_crnn_train_step_with_fused_stem_matches_xla_path():
     """Full CRNN f32 train forward+backward+batch_stats: fused stem
     (interpret) == XLA stem at tight tolerance."""

@@ -68,6 +68,7 @@ def test_train_mode_runs_and_updates_batch_stats(small_cfg):
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+@pytest.mark.slow
 def test_end_to_end_gradient(small_cfg):
     """CTC loss through the whole model produces finite nonzero grads."""
     from crnn_ocr_tpu.ops import ctc

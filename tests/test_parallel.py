@@ -77,6 +77,7 @@ def test_dp_step_matches_single_device(setup):
         )
 
 
+@pytest.mark.slow
 def test_dp_multi_step_stays_in_sync(setup):
     cfg, state, batch = setup
     rng = jax.random.key(3)
@@ -166,6 +167,7 @@ def test_padded_batch_step_matches_unpadded(setup):
         )
 
 
+@pytest.mark.slow
 def test_fit_pads_ragged_batches_on_mesh():
     """fit() must survive a global batch not divisible by the mesh (the
     ragged-last-val-batch case on a real pod)."""
@@ -205,6 +207,7 @@ def test_fit_pads_ragged_batches_on_mesh():
     assert int(out.step) == 2
 
 
+@pytest.mark.slow
 def test_sharded_train_step_pallas_ctc_matches_scan():
     """use_pallas_ctc under a GSPMD mesh must run per-shard via shard_map
     (interpret mode on CPU) and match the scan path's loss/grads."""
@@ -262,6 +265,7 @@ def test_sharded_train_step_pallas_ctc_matches_scan():
         )
 
 
+@pytest.mark.slow
 def test_pallas_birnn_shard_map_matches_scan():
     """BiRNN with a multi-device mesh runs the fused Pallas cell per shard
     via shard_map (interpret mode on the CPU mesh) — values AND gradients
@@ -306,6 +310,7 @@ def test_pallas_birnn_shard_map_matches_scan():
             )
 
 
+@pytest.mark.slow
 def test_dp_train_step_with_pallas_rnn_matches_scan():
     """Full sharded train step with use_pallas_rnn=True (interpret) ==
     the same step on the scan path — the production multi-chip config."""
@@ -360,6 +365,7 @@ def test_dp_train_step_with_pallas_rnn_matches_scan():
         )
 
 
+@pytest.mark.slow
 def test_pallas_grid_sample_shard_map_matches_banded():
     """grid_sample_affine with a multi-device mesh dispatches the Pallas
     sampler per shard via shard_map (interpret on the CPU mesh) — values
@@ -398,6 +404,7 @@ def test_pallas_grid_sample_shard_map_matches_banded():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_stem_train_shard_map_sync_bn():
     """fused_stem_train under a multi-device mesh: per-shard kernels with
     psum'd statistics must reproduce the single-device batch stats,
