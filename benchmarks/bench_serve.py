@@ -36,6 +36,10 @@ def main() -> int:
     p.add_argument("--concurrency", type=int, default=64)
     p.add_argument("--max_batch", type=int, default=64)
     p.add_argument("--max_wait_ms", type=float, default=8.0)
+    p.add_argument("--beam_width", type=int, default=0,
+                   help="0 = greedy decode (row serve_daemon); >0 = "
+                        "on-device TF-exact beam (row serve_daemon_beamN). "
+                        "Decode mode is fixed per daemon, as in the CLI.")
     args = p.parse_args()
 
     import jax
@@ -57,12 +61,18 @@ def main() -> int:
         cfg, state.params, state.batch_stats, synth.codec,
         buckets=(128,),
     )
+    decode_kw = (
+        {"greedy": False, "beam_width": args.beam_width, "top_paths": 1}
+        if args.beam_width > 0
+        else None
+    )
     srv = OCRServer(
         predictor,
         host="127.0.0.1",
         port=0,
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
+        decode_kw=decode_kw,
     ).start()
     srv.batcher.warmup()
 
@@ -117,6 +127,8 @@ def main() -> int:
         "requests": args.requests,
         "concurrency": args.concurrency,
         "max_batch": args.max_batch,
+        "decode": (f"beam{args.beam_width}" if args.beam_width > 0
+                   else "greedy"),
         "errors": errors[0],
         "requests_per_sec": round(args.requests / wall, 1),
         "mean_batch_fill": snap["mean_batch_size"],
@@ -125,14 +137,19 @@ def main() -> int:
         "note": "end-to-end HTTP; tunnel RTT ~30-50ms per device dispatch "
                 "dominates on this env (floor for a real TPU-VM)",
     }
-    print("serve_daemon", rec, file=sys.stderr)
+    row = (
+        f"serve_daemon_beam{args.beam_width}"
+        if args.beam_width > 0
+        else "serve_daemon"
+    )
+    print(row, rec, file=sys.stderr)
     out = os.path.join(os.path.dirname(__file__), "results.json")
     try:
         with open(out) as f:
             results = json.load(f)
     except FileNotFoundError:
         results = {"configs": {}}
-    results["configs"]["serve_daemon"] = rec
+    results["configs"][row] = rec
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(rec))

@@ -32,7 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_wait_ms", type=float, default=5.0,
                    help="batching window after the first queued request")
     p.add_argument("--beam_width", type=int, default=0,
-                   help="0 = greedy decode; >0 = on-device TF-exact beam")
+                   help="0 = greedy decode; >0 = on-device TF-exact beam. "
+                        "The decode mode is fixed per daemon (not per "
+                        "request) so every queued request can coalesce "
+                        "into one compiled device program")
     p.add_argument("--top_paths", type=int, default=1)
     p.add_argument("--no-norm", dest="norm", action="store_false")
     p.add_argument("--no-warmup", dest="warmup", action="store_false",

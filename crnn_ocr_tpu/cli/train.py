@@ -45,7 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rnn_layers", type=int, default=2)
     p.add_argument("--stn", action="store_true")
     p.add_argument("--dropout", type=float, default=0.2)
-    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument(
+        "--dtype", default="auto",
+        choices=["auto", "float32", "bfloat16"],
+        help="compute dtype (params stay f32). auto = bfloat16 on TPU "
+             "backends (measured 3.52 ms/step vs 4.97 f32 at b128, same "
+             "converged CER on the bundled tasks — DESIGN.md), float32 "
+             "elsewhere; --dtype float32 is the TPU escape hatch",
+    )
     # optimization
     p.add_argument("--opt", default="adam",
                    choices=["adam", "sgd", "rmsprop", "adadelta", "adamw"])
@@ -91,6 +98,19 @@ def main(argv=None) -> int:
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+
+    if args.dtype == "auto":
+        # bf16 is the TPU training DEFAULT (VERDICT r2 #9): +41% lines/s at
+        # b128 (benchmarks/results.json train_step_b128_bf16) with the same
+        # converged CER on the bundled tasks (DESIGN.md). CPU keeps f32
+        # (bf16 is emulated there). Resolved per process like the other
+        # runtime knobs; a resumed checkpoint adopts the resolved value too.
+        args.dtype = (
+            "bfloat16"
+            if jax.default_backend() in ("tpu", "axon")
+            else "float32"
+        )
+        print(f"[crnn_ocr_tpu] dtype: auto -> {args.dtype}", file=sys.stderr)
 
     from crnn_ocr_tpu.data import (
         Reader,

@@ -52,11 +52,17 @@ AFTER the scan from per-step backpointers — no (B, W, T) prefix buffer in
 the hot loop, which is also why this decoder is *faster* than the previous
 vectorized approximate one.
 
-Dispatch is TIERED per frame: a syntactic safety proof (cheap) admits the
-all-open top-W directly; only when it fails does the eviction-bound proof
-run, and only when THAT fails does the exact sequential-gating pass run.
-Each tier's predicate implies the next tier would agree, so the result is
-bit-identical regardless of which tier answers.
+Dispatch is TIERED per frame and per SUB-BLOCK of ``DISPATCH_BLOCK``
+samples: a syntactic safety proof (cheap) admits the all-open top-W
+directly; only when it fails does the eviction-bound proof run, and only
+when THAT fails does the exact sequential-gating pass run. Each tier's
+predicate implies the next tier would agree, so the result is bit-identical
+regardless of which tier answers. Every predicate is per-sample (samples
+decode independently), so the tier reductions run over static batch blocks
+rather than the whole batch — one near-tie sample per frame used to send
+all 256 samples down the sequential-gating path (13.0 ms/decode on peaked
+deployment posteriors at B=256; only 1.57x the B=32 throughput), whereas
+per-block dispatch confines the slow tiers to the offending block.
 
 Scoring conventions match ``K.ctc_decode`` exactly: inputs are post-softmax
 probabilities, per-frame scores are ``log_softmax(log(p + 1e-7))``, returned
@@ -84,6 +90,13 @@ NEG = -1e30
 HASH_P = np.uint32(1000003)
 HASH_P2 = np.uint32(16777619)  # FNV-32 prime; independent second rolling hash
 ROOT_SENTINEL = np.uint32(0xFFFFFFFF)
+# Tier dispatch granularity: the batch is split into static blocks of this
+# many samples, each with its own lax.cond ladder, so a near-tie sample only
+# drags its OWN block into the bound/exact tiers. 32 balances per-cond fixed
+# overhead (each conditional is a separate serialized TPU computation)
+# against slow-tier blast radius; at B <= 32 behavior is identical to the
+# previous batch-global dispatch.
+DISPATCH_BLOCK = 32
 
 
 def _lse(a, b):
@@ -101,6 +114,243 @@ def _sel1(onehot, vals):
     (measured: the gathers + the inv_perm scatter were ~55 of the ~88 us
     per decoded frame at B=32)."""
     return jnp.sum(jnp.where(onehot, vals[:, None, :], 0), axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Tier machinery. Each function takes ``p``: a dict of per-sample tensors
+# built by ``_beam_step`` (possibly a DISPATCH_BLOCK slice of the batch —
+# samples decode independently, so any block-wise restriction of the batch
+# axis is exact). Keys: total, s_total, stay_total, inv_perm, cand,
+# last_label, parent_found, parent_idx, alive, eligible, topv1, topi1,
+# cheap_s, cheap_safe, bsel, ok_a, ok_c.
+# ---------------------------------------------------------------------------
+
+
+def _evict_counts(p, W: int, C: int):
+    """Shared eviction-count tensors for the bound and exact tiers.
+
+    Every count either tier needs compares candidate values against
+    STAY values and saturates at W in use, so the counts come straight
+    off ``cand`` (B, W, C) as compare-reduces over small (B, W, W[, C])
+    tensors — no pool sort, no (B, N) inclusion curves. (The previous
+    sorted-pool formulation's two (B, 820) stable sorts plus
+    triangular-matmul count curves were ~6 of the 9.5 ms slow-branch
+    cost per decode at B=256 W=10, traced on v5e.)
+    """
+    iW = jnp.arange(W)
+    stay_total, inv_perm, cand = p["stay_total"], p["inv_perm"], p["cand"]
+    sv_j = stay_total[:, :, None]  # (B, j, 1)
+    sv_k = stay_total[:, None, :]  # (B, 1, k)
+    # Priority = sorted-descending stable pool order: value desc; ties
+    # -> stays (in stay sort order) before candidates, so stays count
+    # on >=-with-earlier-position and candidates on strict >.
+    stays_above = jnp.sum(
+        (sv_k > sv_j)
+        | ((sv_k == sv_j)
+           & (inv_perm[:, None, :] < inv_perm[:, :, None])),
+        axis=2, dtype=jnp.int32,
+    )  # (B, Wj): stays with higher priority than stay j
+    cgt = (
+        cand[:, None, :, :] > stay_total[:, :, None, None]
+    )  # (B, Wj, Wi, C): branch-i candidates strictly above stay j
+    above_cnt = jnp.sum(cgt, axis=3, dtype=jnp.int32)  # (B, Wj, Wi)
+    lab_lt = (
+        jnp.arange(C)[None, None, :]
+        < jnp.maximum(p["last_label"], 0)[:, :, None]
+    )  # (B, Wj, C): labels before branch j's regeneration label
+    partial_cnt = jnp.sum(
+        cgt & lab_lt[:, :, None, :], axis=3, dtype=jnp.int32
+    )  # (B, Wj, Wi): same, keys < kappa_j within branch i
+    pj = jnp.where(p["parent_found"], p["parent_idx"], W)  # (B, W)
+    pj_onehot = pj[:, :, None] == iW[None, None, :]  # (B, Wj, Wi)
+    partial_pj = jnp.sum(
+        jnp.where(pj_onehot, partial_cnt, 0), axis=2
+    )  # (B, Wj): parent's pre-regeneration candidates above stay j
+    return stays_above, above_cnt, partial_pj, pj, pj_onehot
+
+
+def _bound_safe(p, counts, W: int, C: int):
+    # The only zeroing hazard for branch j: its stay evicted BEFORE the
+    # parent's regeneration attempt at key kappa_j = (pj, label_j).
+    # Bound the eviction directly (no sort, no fixpoint): count pool
+    # entries with priority above stay_j among {all stays} u
+    # {candidates with key < kappa_j}, under ALL-OPEN inclusion (a
+    # superset of the true sequential inclusion, so the count is an
+    # upper bound; < W => provably never evicted => zeroing impossible
+    # => fast path safe for j). A stricter-than-needed stay_in_top test
+    # alone rejected ~3% of samples per frame on PEAKED (deployment)
+    # posteriors — and the batch-global fast_ok then sank every sample
+    # into the sequential fixpoint (28x slower end-to-end, measured).
+    iW = jnp.arange(W)
+    stays_above, above_cnt, partial_pj, pj, pj_onehot = counts
+    s_total, total, cand = p["s_total"], p["total"], p["cand"]
+    # Refinement that makes the bound tight on PEAKED (deployment)
+    # posteriors: branch 0 has no parent (cannot be zeroed) and is open
+    # whenever the beam is underfull or its total beats the worst stay —
+    # both checkable directly. When it is provably open, the W-th best
+    # of {stays} u {branch-0 candidates} LOWER-bounds the bottom from
+    # sweep 1 on (streaming top-W of everything seen; bottom is
+    # monotone), so any branch whose total cannot beat that is PROVABLY
+    # closed and its candidates never insert — excluded from the
+    # eviction count. Without this, phantom candidates of gate-closed
+    # weak branches inflate the all-open bound past W and reject ~2-3%
+    # of samples per frame.
+    n_finite_stays = jnp.sum(s_total > NEG / 2, axis=1)  # (B,)
+    bottom_start = s_total[:, W - 1]
+    b0_open = p["eligible"][:, 0] & (
+        (n_finite_stays < W) | (total[:, 0] > bottom_start)
+    )  # (B,)
+    union0 = jnp.concatenate([s_total, cand[:, 0, :]], axis=1)
+    bottom_lb = jax.lax.top_k(union0, W)[0][:, W - 1]  # (B,)
+    notclosed = ~(
+        b0_open[:, None]
+        & (iW[None, :] >= 1)
+        & (total <= bottom_lb[:, None])
+    )  # (B, Wi): branches whose candidates may insert
+    full = jnp.sum(
+        jnp.where(
+            (iW[None, None, :] < pj[:, :, None]) & notclosed[:, None, :],
+            above_cnt, 0,
+        ),
+        axis=2,
+    )  # (B, Wj): candidates of not-closed branches before the parent
+    par_notclosed = jnp.any(pj_onehot & notclosed[:, None, :], axis=2)
+    prior = (
+        stays_above + full + jnp.where(par_notclosed, partial_pj, 0)
+    )
+    never_evicted = prior < W
+    safe_zero = p["cheap_safe"] | never_evicted
+    ok_b = jnp.all(~p["bsel"] | safe_zero, axis=1)
+    return p["ok_a"] & ok_b & p["ok_c"]  # (B,) per-sample fast-path safety
+
+
+def _exact_gates(p, counts, W: int, C: int):
+    """Exact sequential gating, ONE left-to-right pass over the W sweeps.
+
+    Gate/zeroing state for sweep j depends only on sweeps < j
+    (well-founded), so an unrolled W-sweep loop carrying a running top-W
+    value buffer computes the EXACT sequential answer — no Jacobi fixpoint
+    (the previous formulation iterated (B,W,N) cumsums up to W+2 times; on
+    peaked deployment posteriors it ran the full budget nearly every
+    frame, ~19x slower per frame, measured), and no sorted pool /
+    inclusion-count curves (replaced by _evict_counts + the top-W merge;
+    the sorted-pool machinery was ~6 of the 9.5 ms slow-branch cost per
+    decode at B=256, traced on v5e).
+    (A pool shrink to stays + top-K candidates per branch was tried and
+    REVERTED: candidates <= the worst stay are provably irrelevant, but
+    any static cap on the rest can undercount the eviction priors — a
+    dropped entry's in-branch beaters need not precede kappa_j — flipping
+    the zeroing cascade on adversarial near-ties. Exactness wins. The
+    running top-W buffer below is NOT that cap: counts never come from
+    the buffer, only bottom VALUES, and the W-th largest included value
+    is exactly the sequential bottom.)
+    """
+    iW = jnp.arange(W)
+    stays_above, above_cnt, partial_pj, pj, _ = counts
+    total, s_total, cand = p["total"], p["s_total"], p["cand"]
+    B = total.shape[0]
+    cand_fin = jnp.sum(
+        cand > NEG / 2, axis=2, dtype=jnp.int32
+    )  # (B, Wi): finite candidates per branch (for the underfull test;
+    #    while underfull every finite attempted candidate inserts, and
+    #    past W both sides of the test saturate)
+    open_ = jnp.zeros((B, W), bool)
+    zeroed_acc = jnp.zeros((B, W), bool)
+    # Running top-W VALUES of the included pool (stays + candidates of
+    # opened branches so far), descending; bottom = last lane. Value
+    # ties need no priority handling here: the W-th largest included
+    # value is the bottom regardless of which tied entry holds it.
+    R = s_total  # (B, W) sorted stays
+    n_inc = jnp.sum(s_total > NEG / 2, axis=1, dtype=jnp.int32)  # (B,)
+    for j in range(W):
+        # zeroing of branch j: its stay evicted before the parent's
+        # regeneration attempt (parent decided in an earlier sweep)
+        pj_j = pj[:, j][:, None]  # (B, 1)
+        par_open_j = jnp.any(open_ & (iW[None, :] == pj_j), axis=1)
+        full_j = jnp.sum(
+            jnp.where((iW[None, :] < pj_j) & open_,
+                      above_cnt[:, j, :], 0),
+            axis=1,
+        )  # (B,): candidates of opened branches before the parent
+        prior_j = (
+            stays_above[:, j]
+            + full_j
+            + jnp.where(par_open_j, partial_pj[:, j], 0)
+        )
+        zeroed_j = (
+            p["alive"][:, j]
+            & p["parent_found"][:, j]
+            & (p["parent_idx"][:, j] < j)
+            & par_open_j
+            & (prior_j >= W)
+        )
+        open_j = (
+            p["eligible"][:, j]
+            & ~zeroed_j
+            & ((n_inc < W) | (total[:, j] > R[:, W - 1]))
+        )
+        open_ = jnp.where(iW[None, :] == j, open_j[:, None], open_)
+        zeroed_acc = jnp.where(
+            iW[None, :] == j, zeroed_j[:, None], zeroed_acc
+        )
+        n_inc = n_inc + jnp.where(open_j, cand_fin[:, j], 0)
+        # merge branch j's candidates into the running top-W: one
+        # (B, W+C) top_k (~3 us at B=256 on v5e) per sweep
+        R = jax.lax.top_k(
+            jnp.concatenate(
+                [R, jnp.where(open_j[:, None], cand[:, j, :], NEG)],
+                axis=1,
+            ),
+            W,
+        )[0]
+    return open_, zeroed_acc
+
+
+def _slow_path(p, counts, W: int, C: int):
+    iW = jnp.arange(W)
+    s_total, cand = p["s_total"], p["cand"]
+    B = s_total.shape[0]
+    open_, _ = _exact_gates(p, counts, W, C)
+    open_bc = jnp.repeat(open_, C, axis=1)  # (B, W*C) candidate gate
+    cand_masked = jnp.where(open_bc, cand.reshape(B, W * C), NEG)
+    # Two-stage top-W with pool-order tie-breaks (ties: lowest pool
+    # index, stays before candidates). A direct top_k over the
+    # (B, 820) concat lowers as a FULL stable sort inside this cond
+    # branch (1.8 ms/decode at B=256, traced) — the same top_k in the
+    # unconditional dispatch prelude gets XLA's partial-sort lowering.
+    # Stage 1 over candidates keeps (value desc, index asc) order;
+    # stage 2's concat puts stays first, so equal values resolve to
+    # stays, then lower candidate index — identical to the pool order.
+    cv, ci = jax.lax.top_k(cand_masked, W)  # (B, W) candidate top-W
+    tv, mpos = jax.lax.top_k(
+        jnp.concatenate([s_total, cv], axis=1), W
+    )
+    oh = (mpos - W)[:, :, None] == iW[None, None, :]
+    cpick = jnp.sum(jnp.where(oh, ci[:, None, :], 0), axis=2)
+    ti = jnp.where(mpos < W, mpos, W + cpick)
+    return tv, ti
+
+
+def _tier_dispatch(p, W: int, C: int):
+    """Three-tier cond ladder over one batch block: cheap syntactic proof
+    -> eviction bound -> exact sequential gating. Bit-identical result
+    regardless of which tier answers (each tier's predicate implies the
+    next tier would agree)."""
+
+    def fast_path(_):
+        return p["topv1"][:, :W], p["topi1"][:, :W]
+
+    def bound_path(_):
+        # _evict_counts is computed ONCE here and closed over by the inner
+        # cond's slow branch (the counts are identical for both tiers; the
+        # slow branch previously recomputed them).
+        counts = _evict_counts(p, W, C)
+        fast_ok = jnp.all(_bound_safe(p, counts, W, C))
+        return jax.lax.cond(
+            fast_ok, fast_path, lambda _: _slow_path(p, counts, W, C), None
+        )
+
+    return jax.lax.cond(jnp.all(p["cheap_s"]), fast_path, bound_path, None)
 
 
 def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
@@ -280,214 +530,37 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
     )
     # cheap_ok implies fast_ok (cheap_safe is a subset of safe_zero below).
     cheap_s = ok_a & jnp.all(~bsel | cheap_safe, axis=1) & ok_c  # (B,)
-    cheap_ok = jnp.all(cheap_s)
 
-    def fast_path(_):
-        return topv1[:, :W], topi1[:, :W]
-
-    def _evict_counts():
-        """Shared eviction-count tensors for the bound and exact tiers.
-
-        Every count either tier needs compares candidate values against
-        STAY values and saturates at W in use, so the counts come straight
-        off ``cand`` (B, W, C) as compare-reduces over small (B, W, W[, C])
-        tensors — no pool sort, no (B, N) inclusion curves. (The previous
-        sorted-pool formulation's two (B, 820) stable sorts plus
-        triangular-matmul count curves were ~6 of the 9.5 ms slow-branch
-        cost per decode at B=256 W=10, traced on v5e.)
-        """
-        # Priority = sorted-descending stable pool order: value desc; ties
-        # -> stays (in stay sort order) before candidates, so stays count
-        # on >=-with-earlier-position and candidates on strict >.
-        stays_above = jnp.sum(
-            (sv_k > sv_j)
-            | ((sv_k == sv_j)
-               & (inv_perm[:, None, :] < inv_perm[:, :, None])),
-            axis=2, dtype=jnp.int32,
-        )  # (B, Wj): stays with higher priority than stay j
-        cgt = (
-            cand[:, None, :, :] > stay_total[:, :, None, None]
-        )  # (B, Wj, Wi, C): branch-i candidates strictly above stay j
-        above_cnt = jnp.sum(cgt, axis=3, dtype=jnp.int32)  # (B, Wj, Wi)
-        lab_lt = (
-            jnp.arange(C)[None, None, :]
-            < jnp.maximum(last_label, 0)[:, :, None]
-        )  # (B, Wj, C): labels before branch j's regeneration label
-        partial_cnt = jnp.sum(
-            cgt & lab_lt[:, :, None, :], axis=3, dtype=jnp.int32
-        )  # (B, Wj, Wi): same, keys < kappa_j within branch i
-        pj = jnp.where(parent_found, parent_idx, W)  # (B, W)
-        pj_onehot = pj[:, :, None] == iW[None, None, :]  # (B, Wj, Wi)
-        partial_pj = jnp.sum(
-            jnp.where(pj_onehot, partial_cnt, 0), axis=2
-        )  # (B, Wj): parent's pre-regeneration candidates above stay j
-        return stays_above, above_cnt, partial_pj, pj, pj_onehot
-
-    def _bound_safe(counts):
-        # The only zeroing hazard for branch j: its stay evicted BEFORE the
-        # parent's regeneration attempt at key kappa_j = (pj, label_j).
-        # Bound the eviction directly (no sort, no fixpoint): count pool
-        # entries with priority above stay_j among {all stays} u
-        # {candidates with key < kappa_j}, under ALL-OPEN inclusion (a
-        # superset of the true sequential inclusion, so the count is an
-        # upper bound; < W => provably never evicted => zeroing impossible
-        # => fast path safe for j). A stricter-than-needed stay_in_top test
-        # alone rejected ~3% of samples per frame on PEAKED (deployment)
-        # posteriors — and the batch-global fast_ok then sank every sample
-        # into the sequential fixpoint (28x slower end-to-end, measured).
-        stays_above, above_cnt, partial_pj, pj, pj_onehot = counts
-        # Refinement that makes the bound tight on PEAKED (deployment)
-        # posteriors: branch 0 has no parent (cannot be zeroed) and is open
-        # whenever the beam is underfull or its total beats the worst stay —
-        # both checkable directly. When it is provably open, the W-th best
-        # of {stays} u {branch-0 candidates} LOWER-bounds the bottom from
-        # sweep 1 on (streaming top-W of everything seen; bottom is
-        # monotone), so any branch whose total cannot beat that is PROVABLY
-        # closed and its candidates never insert — excluded from the
-        # eviction count. Without this, phantom candidates of gate-closed
-        # weak branches inflate the all-open bound past W and reject ~2-3%
-        # of samples per frame.
-        n_finite_stays = jnp.sum(s_total > NEG / 2, axis=1)  # (B,)
-        bottom_start = s_total[:, W - 1]
-        b0_open = eligible[:, 0] & (
-            (n_finite_stays < W) | (total[:, 0] > bottom_start)
-        )  # (B,)
-        union0 = jnp.concatenate([s_total, cand[:, 0, :]], axis=1)
-        bottom_lb = jax.lax.top_k(union0, W)[0][:, W - 1]  # (B,)
-        notclosed = ~(
-            b0_open[:, None]
-            & (iW[None, :] >= 1)
-            & (total <= bottom_lb[:, None])
-        )  # (B, Wi): branches whose candidates may insert
-        full = jnp.sum(
-            jnp.where(
-                (iW[None, None, :] < pj[:, :, None]) & notclosed[:, None, :],
-                above_cnt, 0,
-            ),
-            axis=2,
-        )  # (B, Wj): candidates of not-closed branches before the parent
-        par_notclosed = jnp.any(pj_onehot & notclosed[:, None, :], axis=2)
-        prior = (
-            stays_above + full + jnp.where(par_notclosed, partial_pj, 0)
-        )
-        never_evicted = prior < W
-        safe_zero = cheap_safe | never_evicted
-        ok_b = jnp.all(~bsel | safe_zero, axis=1)
-        return ok_a & ok_b & ok_c  # (B,) per-sample fast-path safety
-
-    def bound_path(_):
-        # _evict_counts is computed ONCE here and closed over by the inner
-        # cond's slow branch (the counts are identical for both tiers; the
-        # slow branch previously recomputed them).
-        counts = _evict_counts()
-        fast_ok = jnp.all(_bound_safe(counts))
-        return jax.lax.cond(
-            fast_ok, fast_path, lambda _: slow_path(counts), None
-        )
-
-    # -------- Slow path: exact sequential gating, ONE left-to-right pass
-    # over the W sweeps. Gate/zeroing state for sweep j depends only on
-    # sweeps < j (well-founded), so an unrolled W-sweep loop carrying a
-    # running top-W value buffer computes the EXACT sequential answer — no
-    # Jacobi fixpoint (the previous formulation iterated (B,W,N) cumsums up
-    # to W+2 times; on peaked deployment posteriors it ran the full budget
-    # nearly every frame, ~19x slower per frame, measured), and no sorted
-    # pool / inclusion-count curves (replaced by _evict_counts + the top-W
-    # merge; the sorted-pool machinery was ~6 of the 9.5 ms slow-branch
-    # cost per decode at B=256, traced on v5e).
-    # (A pool shrink to stays + top-K candidates per branch was tried and
-    # REVERTED: candidates <= the worst stay are provably irrelevant, but
-    # any static cap on the rest can undercount the eviction priors — a
-    # dropped entry's in-branch beaters need not precede kappa_j — flipping
-    # the zeroing cascade on adversarial near-ties. Exactness wins. The
-    # running top-W buffer below is NOT that cap: counts never come from
-    # the buffer, only bottom VALUES, and the W-th largest included value
-    # is exactly the sequential bottom.)
-    def _exact_gates(counts):
-        stays_above, above_cnt, partial_pj, pj, _ = counts
-        cand_fin = jnp.sum(
-            cand > NEG / 2, axis=2, dtype=jnp.int32
-        )  # (B, Wi): finite candidates per branch (for the underfull test;
-        #    while underfull every finite attempted candidate inserts, and
-        #    past W both sides of the test saturate)
-        open_ = jnp.zeros((B, W), bool)
-        zeroed_acc = jnp.zeros((B, W), bool)
-        # Running top-W VALUES of the included pool (stays + candidates of
-        # opened branches so far), descending; bottom = last lane. Value
-        # ties need no priority handling here: the W-th largest included
-        # value is the bottom regardless of which tied entry holds it.
-        R = s_total  # (B, W) sorted stays
-        n_inc = jnp.sum(s_total > NEG / 2, axis=1, dtype=jnp.int32)  # (B,)
-        for j in range(W):
-            # zeroing of branch j: its stay evicted before the parent's
-            # regeneration attempt (parent decided in an earlier sweep)
-            pj_j = pj[:, j][:, None]  # (B, 1)
-            par_open_j = jnp.any(open_ & (iW[None, :] == pj_j), axis=1)
-            full_j = jnp.sum(
-                jnp.where((iW[None, :] < pj_j) & open_,
-                          above_cnt[:, j, :], 0),
-                axis=1,
-            )  # (B,): candidates of opened branches before the parent
-            prior_j = (
-                stays_above[:, j]
-                + full_j
-                + jnp.where(par_open_j, partial_pj[:, j], 0)
-            )
-            zeroed_j = (
-                alive[:, j]
-                & parent_found[:, j]
-                & (parent_idx[:, j] < j)
-                & par_open_j
-                & (prior_j >= W)
-            )
-            open_j = (
-                eligible[:, j]
-                & ~zeroed_j
-                & ((n_inc < W) | (total[:, j] > R[:, W - 1]))
-            )
-            open_ = jnp.where(iW[None, :] == j, open_j[:, None], open_)
-            zeroed_acc = jnp.where(
-                iW[None, :] == j, zeroed_j[:, None], zeroed_acc
-            )
-            n_inc = n_inc + jnp.where(open_j, cand_fin[:, j], 0)
-            # merge branch j's candidates into the running top-W: one
-            # (B, W+C) top_k (~3 us at B=256 on v5e) per sweep
-            R = jax.lax.top_k(
-                jnp.concatenate(
-                    [R, jnp.where(open_j[:, None], cand[:, j, :], NEG)],
-                    axis=1,
-                ),
-                W,
-            )[0]
-        return open_, zeroed_acc
-
-    def slow_path(counts):
-        open_, _ = _exact_gates(counts)
-        open_bc = jnp.repeat(open_, C, axis=1)  # (B, W*C) candidate gate
-        cand_masked = jnp.where(open_bc, cand.reshape(B, W * C), NEG)
-        # Two-stage top-W with pool-order tie-breaks (ties: lowest pool
-        # index, stays before candidates). A direct top_k over the
-        # (B, 820) concat lowers as a FULL stable sort inside this cond
-        # branch (1.8 ms/decode at B=256, traced) — the same top_k in the
-        # unconditional dispatch prelude gets XLA's partial-sort lowering.
-        # Stage 1 over candidates keeps (value desc, index asc) order;
-        # stage 2's concat puts stays first, so equal values resolve to
-        # stays, then lower candidate index — identical to the pool order.
-        cv, ci = jax.lax.top_k(cand_masked, W)  # (B, W) candidate top-W
-        tv, mpos = jax.lax.top_k(
-            jnp.concatenate([s_total, cv], axis=1), W
-        )
-        oh = (mpos - W)[:, :, None] == iW[None, None, :]
-        cpick = jnp.sum(jnp.where(oh, ci[:, None, :], 0), axis=2)
-        ti = jnp.where(mpos < W, mpos, W + cpick)
-        return tv, ti
+    # Per-sample tensors for the tier machinery (module-level helpers);
+    # sliced per DISPATCH_BLOCK below — samples decode independently, so
+    # restricting every tensor to a block of rows is exact.
+    per = dict(
+        total=total, s_total=s_total, stay_total=stay_total,
+        inv_perm=inv_perm, cand=cand, last_label=last_label,
+        parent_found=parent_found, parent_idx=parent_idx, alive=alive,
+        eligible=eligible, topv1=topv1, topi1=topi1, cheap_s=cheap_s,
+        cheap_safe=cheap_safe, bsel=bsel, ok_a=ok_a, ok_c=ok_c,
+    )
 
     if force_fast:  # debug/benchmark knob: skip the exactness fallback
-        top_vals, top_idx = fast_path(None)
+        top_vals, top_idx = topv1[:, :W], topi1[:, :W]
     else:
-        top_vals, top_idx = jax.lax.cond(
-            cheap_ok, fast_path, bound_path, None
-        )
+        # Per-sub-block tier dispatch: each static block of DISPATCH_BLOCK
+        # samples gets its own cond ladder, so one near-tie sample only
+        # sinks its own block into the bound/exact tiers (batch-global
+        # all() previously sank all 256 samples: 13.0 ms/decode on peaked
+        # posteriors at B=256 vs 2.56 ms at B=32).
+        outs = [
+            _tier_dispatch(
+                {k: v[s:s + DISPATCH_BLOCK] for k, v in per.items()}, W, C
+            )
+            for s in range(0, B, DISPATCH_BLOCK)
+        ]
+        if len(outs) == 1:
+            top_vals, top_idx = outs[0]
+        else:
+            top_vals = jnp.concatenate([o[0] for o in outs], axis=0)
+            top_idx = jnp.concatenate([o[1] for o in outs], axis=0)
 
     is_stay = top_idx < W
     oh_sorted = (
@@ -519,10 +592,10 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
     new_state = (n_total, n_p_b, n_p_nb, n_hash, n_hash2, n_parent_hash,
                  n_parent_hash2, n_last_label, n_length, n_alive)
     if diag:
-        dcounts = _evict_counts()
-        ex_open, ex_zeroed = _exact_gates(dcounts)
+        dcounts = _evict_counts(per, W, C)
+        ex_open, ex_zeroed = _exact_gates(per, dcounts, W, C)
         diag_out = (
-            cheap_s, _bound_safe(dcounts), ok_a, ok_c,
+            cheap_s, _bound_safe(per, dcounts, W, C), ok_a, ok_c,
             jnp.all(~bsel | cheap_safe, axis=1),
             bsel, cheap_safe, ex_open, ex_zeroed,
         )

@@ -2,10 +2,11 @@
 
 The on-device TF-exact beam search (ops/ctc_beam_device.py) dispatches each
 frame through three tiers: a cheap syntactic proof, an eviction-bound proof,
-and the exact sequential-gating pass. The dispatch is batch-global (one
-``lax.cond`` per frame), so ONE inadmissible sample sends the whole batch
-down a slower tier. This tool quantifies that: per-sample tier admission on
-peaked (deployment) vs near-uniform (worst-case) posteriors.
+and the exact sequential-gating pass. Dispatch is per SUB-BLOCK of
+``DISPATCH_BLOCK`` samples (one ``lax.cond`` ladder per block per frame), so
+an inadmissible sample sinks only its own block into the slower tiers. This
+tool quantifies that: per-sample AND per-block tier admission on peaked
+(deployment) vs near-uniform (worst-case) posteriors.
 
 Run on CPU (predicate math is backend-independent):
     PYTHONPATH=/root/repo python tools/diag_beam_tiers.py
@@ -56,6 +57,21 @@ def report(kind: str, B: int = 32, T: int = 30, C: int = 81, W: int = 10):
     print(f"  batch-global frames: tier1 {frame_cheap.mean():.3f}  "
           f"tier1|2(fast) {frame_fast.mean():.3f}  "
           f"slow {1 - frame_fast.mean():.3f}")
+    # per-block dispatch granularity (what the decoder actually pays):
+    # fraction of (frame, block) conds resolving at each tier
+    from crnn_ocr_tpu.ops.ctc_beam_device import DISPATCH_BLOCK
+    nblk = (B + DISPATCH_BLOCK - 1) // DISPATCH_BLOCK
+    blk_cheap = np.array([
+        cheap[:, s * DISPATCH_BLOCK:(s + 1) * DISPATCH_BLOCK].all(axis=1)
+        for s in range(nblk)
+    ])  # (nblk, T)
+    blk_fast = np.array([
+        fast[:, s * DISPATCH_BLOCK:(s + 1) * DISPATCH_BLOCK].all(axis=1)
+        for s in range(nblk)
+    ])
+    print(f"  per-block({DISPATCH_BLOCK}) conds: tier1 "
+          f"{blk_cheap.mean():.3f}  tier1|2(fast) {blk_fast.mean():.3f}  "
+          f"slow {1 - blk_fast.mean():.3f}  (blocks={nblk})")
     # where do rejections cluster in time?
     rej = (~fast).sum(axis=1)
     print(f"  rejected samples per frame (first 30): {rej[:30].tolist()}")
