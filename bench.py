@@ -78,28 +78,40 @@ def main() -> int:
     # host materialization, subtract the tunnel RTT measured with a trivial
     # program. (Verified: per-call timing reads 2.98 ms/batch where the
     # device actually takes 0.72 ms.)
-    K = int(os.environ.get("BENCH_SCAN_LEN", "32"))
-    raws = jnp.asarray(
-        np.stack([raw] * K) ^ np.arange(K, dtype=np.uint8)[:, None, None, None]
-    )
-    hs_k = jnp.asarray(np.stack([heights] * K))
-    ws_k = jnp.asarray(np.stack([widths] * K))
+    # K sized so DEVICE time dominates the tunnel RTT: at ~0.9 ms/batch,
+    # K=32 put ~29 ms of compute behind a ~40 ms RTT, and the RTT-estimate
+    # error (±10 ms across calls) leaked straight into the step time
+    # (±0.3 ms/step — the round-2 headline under-read the chip by ~1.9x
+    # vs the cross-checked benchmarks/run_all.py row at identical shapes).
+    # K=256 puts ~230 ms behind the same RTT, bounding that error at ~4%.
+    # The K distinct input batches are DERIVED ON DEVICE inside the scan
+    # (base batch XOR step counter; widths rotated per step) — one 2.3 MB
+    # host->device transfer instead of K of them, so large K costs no
+    # tunnel bandwidth. The XOR/roll depend on the scanned step index, so
+    # XLA cannot hoist the body (hoisted constant bodies read as fake
+    # sub-ms steps on this tunnel).
+    K = int(os.environ.get("BENCH_SCAN_LEN", "256"))
+    raw_d = jnp.asarray(raw)
+    hs_d = jnp.asarray(heights)
+    ws_d = jnp.asarray(widths)
 
     @jax.jit
-    def serve_k(variables, raws, hs_k, ws_k):
+    def serve_k(variables, raw_d, hs_d, ws_d):
         # Returns scalars only: an on-device checksum of every decode forces
         # full execution while keeping the host transfer at 8 bytes — the
         # metric is chip compute throughput, and this dev tunnel's bandwidth
         # (unlike a TPU-VM PCIe link) would otherwise dominate.
-        def one(carry, inp):
-            decoded, score = serve(variables, *inp)
+        def one(carry, k):
+            raw_k = raw_d ^ k.astype(jnp.uint8)
+            ws_k = jnp.roll(ws_d, k)
+            decoded, score = serve(variables, raw_k, hs_d, ws_k)
             return (
                 carry[0] + jnp.sum(score),
                 carry[1] + jnp.sum(decoded),
             ), None
 
         (total, chk), _ = jax.lax.scan(
-            one, (jnp.float32(0), jnp.int32(0)), (raws, hs_k, ws_k)
+            one, (jnp.float32(0), jnp.int32(0)), jnp.arange(K)
         )
         return total, chk
 
@@ -116,14 +128,14 @@ def main() -> int:
     rtt_s = float(np.min(rtts))  # min = noise-floor estimator
 
     t0 = time.perf_counter()
-    out = serve_k(variables, raws, hs_k, ws_k)
+    out = serve_k(variables, raw_d, hs_d, ws_d)
     np.asarray(out[0])
     compile_s = time.perf_counter() - t0
 
     totals = []
     for _ in range(max(4, REPS // 5)):
         t0 = time.perf_counter()
-        tot, chk = serve_k(variables, raws, hs_k, ws_k)
+        tot, chk = serve_k(variables, raw_d, hs_d, ws_d)
         np.asarray(tot), np.asarray(chk)
         totals.append(time.perf_counter() - t0)
     # min-of-trials (tunnel adds only positive noise)

@@ -29,10 +29,19 @@ def capture(logdir: str) -> None:
 
     from crnn_ocr_tpu.ops.ctc_beam_device import ctc_beam_search_decode_tf
 
-    B, T, C = 32, 30, 81
+    B = int(os.environ.get("TRACE_BEAM_B", "32"))
+    T, C = 30, 81
     rng = np.random.default_rng(0)
-    # near-uniform posteriors (untrained model on noise)
-    logits = rng.normal(scale=0.1, size=(B, T, C)).astype(np.float32)
+    if os.environ.get("TRACE_BEAM_SHARP", "0") == "1":
+        # peaked (trained-model-like) posteriors — the deployment regime,
+        # where ~2.8%/sample-frame cheap-proof rejections make nearly every
+        # frame run the exact tier at B=256 (tools/diag_beam_tiers.py)
+        logits = rng.normal(size=(B, T, C)).astype(np.float32)
+        peak = rng.integers(0, C, size=(B, T))
+        logits[np.arange(B)[:, None], np.arange(T)[None, :], peak] += 6.0
+    else:
+        # near-uniform posteriors (untrained model on noise)
+        logits = rng.normal(scale=0.1, size=(B, T, C)).astype(np.float32)
     probs = jax.device_put(
         np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
     )
@@ -61,8 +70,12 @@ def main() -> int:
     logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/xplane_beam"
     capture(logdir)
     summary = summarize(logdir, steps=8 * 3)
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "trace_beam_summary.json")
+    suffix = ("_sharp" if os.environ.get("TRACE_BEAM_SHARP", "0") == "1"
+              else "")
+    bsz = os.environ.get("TRACE_BEAM_B", "32")
+    name = (f"trace_beam{suffix}_b{bsz}_summary.json"
+            if (suffix or bsz != "32") else "trace_beam_summary.json")
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
     with open(out, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps({k: summary[k] for k in summary if k != "top_ops_ms_per_step"}))

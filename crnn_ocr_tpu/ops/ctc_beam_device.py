@@ -52,17 +52,16 @@ AFTER the scan from per-step backpointers — no (B, W, T) prefix buffer in
 the hot loop, which is also why this decoder is *faster* than the previous
 vectorized approximate one.
 
-Dispatch is TIERED per frame and per SUB-BLOCK of ``DISPATCH_BLOCK``
-samples: a syntactic safety proof (cheap) admits the all-open top-W
-directly; only when it fails does the eviction-bound proof run, and only
-when THAT fails does the exact sequential-gating pass run. Each tier's
-predicate implies the next tier would agree, so the result is bit-identical
-regardless of which tier answers. Every predicate is per-sample (samples
-decode independently), so the tier reductions run over static batch blocks
-rather than the whole batch — one near-tie sample per frame used to send
-all 256 samples down the sequential-gating path (13.0 ms/decode on peaked
-deployment posteriors at B=256; only 1.57x the B=32 throughput), whereas
-per-block dispatch confines the slow tiers to the offending block.
+Dispatch is TIERED per frame: a syntactic safety proof (cheap) admits the
+all-open top-W directly; only when it fails does the eviction-bound proof
+run, and only when THAT fails does the exact sequential-gating pass run.
+Each tier's predicate implies the next tier would agree, so the result is
+bit-identical regardless of which tier answers. Every predicate is
+per-sample (samples decode independently), so dispatch granularity is a
+free parameter (``DISPATCH_BLOCK``); batch-global is the measured default —
+per-sub-block cond ladders were built and measured SLOWER in both regimes
+because the slow tiers are latency-bound (see the dispatch comment in
+``_beam_step``).
 
 Scoring conventions match ``K.ctc_decode`` exactly: inputs are post-softmax
 probabilities, per-frame scores are ``log_softmax(log(p + 1e-7))``, returned
@@ -90,13 +89,13 @@ NEG = -1e30
 HASH_P = np.uint32(1000003)
 HASH_P2 = np.uint32(16777619)  # FNV-32 prime; independent second rolling hash
 ROOT_SENTINEL = np.uint32(0xFFFFFFFF)
-# Tier dispatch granularity: the batch is split into static blocks of this
+# Tier dispatch granularity: > 0 splits the batch into static blocks of this
 # many samples, each with its own lax.cond ladder, so a near-tie sample only
-# drags its OWN block into the bound/exact tiers. 32 balances per-cond fixed
-# overhead (each conditional is a separate serialized TPU computation)
-# against slow-tier blast radius; at B <= 32 behavior is identical to the
-# previous batch-global dispatch.
-DISPATCH_BLOCK = 32
+# drags its OWN block into the bound/exact tiers; <= 0 = one batch-global
+# ladder. Batch-global is the measured default: the slow tiers are
+# latency-bound, so per-block dispatch multiplies slow-path invocations
+# unless dirty samples cluster (see the dispatch comment in _beam_step).
+DISPATCH_BLOCK = 0
 
 
 def _lse(a, b):
@@ -121,8 +120,9 @@ def _sel1(onehot, vals):
 # built by ``_beam_step`` (possibly a DISPATCH_BLOCK slice of the batch —
 # samples decode independently, so any block-wise restriction of the batch
 # axis is exact). Keys: total, s_total, stay_total, inv_perm, cand,
-# last_label, parent_found, parent_idx, alive, eligible, topv1, topi1,
-# cheap_s, cheap_safe, bsel, ok_a, ok_c.
+# cv_b + pool_idx_b (the per-branch top-(W+1) candidate prefilter the
+# tiers run on), last_label, parent_found, parent_idx, alive, eligible,
+# topv1, topi1, cheap_s, cheap_safe, bsel, ok_a, ok_c.
 # ---------------------------------------------------------------------------
 
 
@@ -130,15 +130,24 @@ def _evict_counts(p, W: int, C: int):
     """Shared eviction-count tensors for the bound and exact tiers.
 
     Every count either tier needs compares candidate values against
-    STAY values and saturates at W in use, so the counts come straight
-    off ``cand`` (B, W, C) as compare-reduces over small (B, W, W[, C])
-    tensors — no pool sort, no (B, N) inclusion curves. (The previous
-    sorted-pool formulation's two (B, 820) stable sorts plus
-    triangular-matmul count curves were ~6 of the 9.5 ms slow-branch
-    cost per decode at B=256 W=10, traced on v5e.)
+    STAY values and is consumed only through the ``>= W`` eviction
+    threshold, so the per-branch counts come off the ALREADY-COMPUTED
+    top-(W+1) candidate prefilter ``cv_b`` (B, W, K1), not the full
+    (B, W, C) pool: ``min(true_count, K1)`` per (j, i) is
+    decision-exact, because a capped term equals K1 = W+1 and alone
+    forces the summed prior past the threshold, while an uncapped term
+    is the true count. (The full-C compare-reduce this replaces was a
+    (B, W, W, C) ~21M-element tensor at B=256; the prefilter version is
+    C/K1 ~ 7x smaller.) The one count that must be exact UNCAPPED —
+    the parent's own pre-regeneration candidates, a SUBSET count where
+    capping arguments don't apply — selects the parent's full candidate
+    row with a one-hot MXU matmul (Precision.HIGHEST: one-hot times x
+    reconstructs x bit-exactly from its bf16x3 splits) and counts over
+    all C lanes there.
     """
     iW = jnp.arange(W)
-    stay_total, inv_perm, cand = p["stay_total"], p["inv_perm"], p["cand"]
+    stay_total, inv_perm = p["stay_total"], p["inv_perm"]
+    cv_b = p["cv_b"]  # (B, W, K1) per-branch top-(W+1) candidate values
     sv_j = stay_total[:, :, None]  # (B, j, 1)
     sv_k = stay_total[:, None, :]  # (B, 1, k)
     # Priority = sorted-descending stable pool order: value desc; ties
@@ -151,21 +160,23 @@ def _evict_counts(p, W: int, C: int):
         axis=2, dtype=jnp.int32,
     )  # (B, Wj): stays with higher priority than stay j
     cgt = (
-        cand[:, None, :, :] > stay_total[:, :, None, None]
-    )  # (B, Wj, Wi, C): branch-i candidates strictly above stay j
-    above_cnt = jnp.sum(cgt, axis=3, dtype=jnp.int32)  # (B, Wj, Wi)
+        cv_b[:, None, :, :] > stay_total[:, :, None, None]
+    )  # (B, Wj, Wi, K1): branch-i top-K1 candidates above stay j
+    above_cnt = jnp.sum(cgt, axis=3, dtype=jnp.int32)  # (B, Wj, Wi) capped
+    pj = jnp.where(p["parent_found"], p["parent_idx"], W)  # (B, W)
+    pj_onehot = pj[:, :, None] == iW[None, None, :]  # (B, Wj, Wi)
+    parent_vals = jnp.einsum(
+        "bji,bic->bjc", pj_onehot.astype(jnp.float32), p["cand"],
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, Wj, C): the parent's full candidate row (0 when no parent;
+    #    every use below is masked by parent_found/par_open)
     lab_lt = (
         jnp.arange(C)[None, None, :]
         < jnp.maximum(p["last_label"], 0)[:, :, None]
     )  # (B, Wj, C): labels before branch j's regeneration label
-    partial_cnt = jnp.sum(
-        cgt & lab_lt[:, :, None, :], axis=3, dtype=jnp.int32
-    )  # (B, Wj, Wi): same, keys < kappa_j within branch i
-    pj = jnp.where(p["parent_found"], p["parent_idx"], W)  # (B, W)
-    pj_onehot = pj[:, :, None] == iW[None, None, :]  # (B, Wj, Wi)
     partial_pj = jnp.sum(
-        jnp.where(pj_onehot, partial_cnt, 0), axis=2
-    )  # (B, Wj): parent's pre-regeneration candidates above stay j
+        (parent_vals > sv_j) & lab_lt, axis=2, dtype=jnp.int32
+    )  # (B, Wj): parent's pre-regeneration candidates above stay j (exact)
     return stays_above, above_cnt, partial_pj, pj, pj_onehot
 
 
@@ -183,7 +194,7 @@ def _bound_safe(p, counts, W: int, C: int):
     # into the sequential fixpoint (28x slower end-to-end, measured).
     iW = jnp.arange(W)
     stays_above, above_cnt, partial_pj, pj, pj_onehot = counts
-    s_total, total, cand = p["s_total"], p["total"], p["cand"]
+    s_total, total = p["s_total"], p["total"]
     # Refinement that makes the bound tight on PEAKED (deployment)
     # posteriors: branch 0 has no parent (cannot be zeroed) and is open
     # whenever the beam is underfull or its total beats the worst stay —
@@ -200,7 +211,9 @@ def _bound_safe(p, counts, W: int, C: int):
     b0_open = p["eligible"][:, 0] & (
         (n_finite_stays < W) | (total[:, 0] > bottom_start)
     )  # (B,)
-    union0 = jnp.concatenate([s_total, cand[:, 0, :]], axis=1)
+    # branch 0's contribution to the top-W of the union is within its own
+    # top-W, so the per-branch top-(W+1) prefilter is lossless here
+    union0 = jnp.concatenate([s_total, p["cv_b"][:, 0, :]], axis=1)
     bottom_lb = jax.lax.top_k(union0, W)[0][:, W - 1]  # (B,)
     notclosed = ~(
         b0_open[:, None]
@@ -236,24 +249,29 @@ def _exact_gates(p, counts, W: int, C: int):
     inclusion-count curves (replaced by _evict_counts + the top-W merge;
     the sorted-pool machinery was ~6 of the 9.5 ms slow-branch cost per
     decode at B=256, traced on v5e).
-    (A pool shrink to stays + top-K candidates per branch was tried and
-    REVERTED: candidates <= the worst stay are provably irrelevant, but
-    any static cap on the rest can undercount the eviction priors — a
-    dropped entry's in-branch beaters need not precede kappa_j — flipping
-    the zeroing cascade on adversarial near-ties. Exactness wins. The
-    running top-W buffer below is NOT that cap: counts never come from
-    the buffer, only bottom VALUES, and the W-th largest included value
-    is exactly the sequential bottom.)
+    The loop runs entirely on the per-branch top-(W+1) prefilter ``cv_b``:
+    the running top-W merge only ever needs each branch's top-W values,
+    the underfull counter saturates at W (a K1-capped term alone exceeds
+    it), and the eviction priors are decision-exact per _evict_counts'
+    capping argument — the one subset count capping can't handle (the
+    parent's pre-kappa candidates, whose in-branch beaters need not
+    precede kappa_j; an earlier naive pool-shrink attempt was REVERTED
+    over exactly that) is counted over the parent's full candidate row
+    there. The running top-W buffer takes no counts from the prefilter,
+    only bottom VALUES, and the W-th largest included value is exactly
+    the sequential bottom.
     """
     iW = jnp.arange(W)
     stays_above, above_cnt, partial_pj, pj, _ = counts
-    total, s_total, cand = p["total"], p["s_total"], p["cand"]
+    total, s_total = p["total"], p["s_total"]
+    cv_b = p["cv_b"]  # (B, W, K1) per-branch top-(W+1) candidate values
     B = total.shape[0]
     cand_fin = jnp.sum(
-        cand > NEG / 2, axis=2, dtype=jnp.int32
-    )  # (B, Wi): finite candidates per branch (for the underfull test;
-    #    while underfull every finite attempted candidate inserts, and
-    #    past W both sides of the test saturate)
+        cv_b > NEG / 2, axis=2, dtype=jnp.int32
+    )  # (B, Wi): finite candidates per branch, capped at K1 = W+1 — for
+    #    the underfull test only: while underfull every finite attempted
+    #    candidate inserts, and a capped term alone saturates n_inc past
+    #    W, so the n_inc < W decision below is exact
     open_ = jnp.zeros((B, W), bool)
     zeroed_acc = jnp.zeros((B, W), bool)
     # Running top-W VALUES of the included pool (stays + candidates of
@@ -294,11 +312,13 @@ def _exact_gates(p, counts, W: int, C: int):
             iW[None, :] == j, zeroed_j[:, None], zeroed_acc
         )
         n_inc = n_inc + jnp.where(open_j, cand_fin[:, j], 0)
-        # merge branch j's candidates into the running top-W: one
-        # (B, W+C) top_k (~3 us at B=256 on v5e) per sweep
+        # merge branch j's candidates into the running top-W: a branch
+        # contributes at most W entries to any top-W, so its top-(W+1)
+        # prefilter is lossless — one (B, W+K1) top_k per sweep (was
+        # (B, W+C); ~5x fewer lanes in the latency-bound sweep chain)
         R = jax.lax.top_k(
             jnp.concatenate(
-                [R, jnp.where(open_j[:, None], cand[:, j, :], NEG)],
+                [R, jnp.where(open_j[:, None], cv_b[:, j, :], NEG)],
                 axis=1,
             ),
             W,
@@ -308,26 +328,37 @@ def _exact_gates(p, counts, W: int, C: int):
 
 def _slow_path(p, counts, W: int, C: int):
     iW = jnp.arange(W)
-    s_total, cand = p["s_total"], p["cand"]
-    B = s_total.shape[0]
+    s_total, cv_b = p["s_total"], p["cv_b"]
+    B, _, K1 = cv_b.shape
     open_, _ = _exact_gates(p, counts, W, C)
-    open_bc = jnp.repeat(open_, C, axis=1)  # (B, W*C) candidate gate
-    cand_masked = jnp.where(open_bc, cand.reshape(B, W * C), NEG)
+    # Gated top-W off the per-branch top-(W+1) prefilter: gating drops
+    # whole branches, so within-branch priority ranks are unchanged and
+    # any gated-pool top-W entry is still inside its branch's top-(W+1).
+    cand_r = jnp.where(
+        open_[:, :, None], cv_b, NEG
+    ).reshape(B, W * K1)  # (B, W*K1) in pool priority order
     # Two-stage top-W with pool-order tie-breaks (ties: lowest pool
-    # index, stays before candidates). A direct top_k over the
-    # (B, 820) concat lowers as a FULL stable sort inside this cond
-    # branch (1.8 ms/decode at B=256, traced) — the same top_k in the
-    # unconditional dispatch prelude gets XLA's partial-sort lowering.
-    # Stage 1 over candidates keeps (value desc, index asc) order;
-    # stage 2's concat puts stays first, so equal values resolve to
-    # stays, then lower candidate index — identical to the pool order.
-    cv, ci = jax.lax.top_k(cand_masked, W)  # (B, W) candidate top-W
+    # index, stays before candidates). A direct top_k over the full
+    # (B, 820) concat lowered as a FULL stable sort inside this cond
+    # branch (1.8 ms/decode at B=256, traced); the reduced pool is
+    # (B, 110) and stage 1's (value desc, reduced-index asc) order ==
+    # (value desc, (branch, label) asc) because the prefilter is
+    # branch-major with label-ascending ties within a branch. Stage 2's
+    # concat puts stays first, so equal values resolve to stays, then
+    # lower candidate index — identical to the full pool order.
+    cv, ci = jax.lax.top_k(cand_r, W)  # (B, W) candidate top-W
+    # map reduced positions back to full-pool indices (W + branch*C + label)
+    oh_r = ci[:, :, None] == jnp.arange(W * K1)[None, None, :]
+    pool_idx_flat = p["pool_idx_b"].reshape(B, W * K1)
+    ci_full = jnp.sum(
+        jnp.where(oh_r, pool_idx_flat[:, None, :], 0), axis=2
+    )  # (B, W)
     tv, mpos = jax.lax.top_k(
         jnp.concatenate([s_total, cv], axis=1), W
     )
     oh = (mpos - W)[:, :, None] == iW[None, None, :]
-    cpick = jnp.sum(jnp.where(oh, ci[:, None, :], 0), axis=2)
-    ti = jnp.where(mpos < W, mpos, W + cpick)
+    cpick = jnp.sum(jnp.where(oh, ci_full[:, None, :], 0), axis=2)
+    ti = jnp.where(mpos < W, mpos, cpick)
     return tv, ti
 
 
@@ -536,7 +567,8 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
     # restricting every tensor to a block of rows is exact.
     per = dict(
         total=total, s_total=s_total, stay_total=stay_total,
-        inv_perm=inv_perm, cand=cand, last_label=last_label,
+        inv_perm=inv_perm, cand=cand, cv_b=cv_b, pool_idx_b=pool_idx_b,
+        last_label=last_label,
         parent_found=parent_found, parent_idx=parent_idx, alive=alive,
         eligible=eligible, topv1=topv1, topi1=topi1, cheap_s=cheap_s,
         cheap_safe=cheap_safe, bsel=bsel, ok_a=ok_a, ok_c=ok_c,
@@ -545,16 +577,22 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
     if force_fast:  # debug/benchmark knob: skip the exactness fallback
         top_vals, top_idx = topv1[:, :W], topi1[:, :W]
     else:
-        # Per-sub-block tier dispatch: each static block of DISPATCH_BLOCK
-        # samples gets its own cond ladder, so one near-tie sample only
-        # sinks its own block into the bound/exact tiers (batch-global
-        # all() previously sank all 256 samples: 13.0 ms/decode on peaked
-        # posteriors at B=256 vs 2.56 ms at B=32).
+        # Dispatch granularity: per-sub-block cond ladders (one per
+        # DISPATCH_BLOCK rows) were built and MEASURED SLOWER on v5e in
+        # BOTH regimes (sharp b256 13.0 -> 16.1 ms, near-uniform b256
+        # 7.7 -> 11.2 ms at block=32): the bound/exact tiers are
+        # LATENCY-bound (sequential W-sweep over tiny tensors), so a slow
+        # block costs nearly as much as a slow full batch, and k dirty
+        # blocks run k sequential slow paths where batch-global ran one.
+        # Per-block only pays when dirty samples cluster into few blocks,
+        # which the tier stats show they don't (tools/diag_beam_tiers.py).
+        # DISPATCH_BLOCK <= 0 (default) = one batch-global ladder.
+        blk = DISPATCH_BLOCK if DISPATCH_BLOCK > 0 else B
         outs = [
             _tier_dispatch(
-                {k: v[s:s + DISPATCH_BLOCK] for k, v in per.items()}, W, C
+                {k: v[s:s + blk] for k, v in per.items()}, W, C
             )
-            for s in range(0, B, DISPATCH_BLOCK)
+            for s in range(0, B, blk)
         ]
         if len(outs) == 1:
             top_vals, top_idx = outs[0]

@@ -155,22 +155,24 @@ def test_vectorized_beam_matches_oracle_on_peaky_goldens(goldens):
 
 
 def test_device_beam_multiblock_mixed_tiers():
-    """B spanning several dispatch sub-blocks, with near-tie (slow-tier)
-    rows confined to the middle block: per-sub-block dispatch must return
-    bit-identical results to the host exact decoder on every row — the
-    blocks that stay on the fast tier AND the block that falls through to
-    the bound/exact tiers (and the ragged final block)."""
+    """Mixed batch spanning several dispatch sub-blocks (regardless of the
+    DISPATCH_BLOCK default — 0 means batch-global), with near-tie
+    (slow-tier) rows confined to the middle 32-row block: dispatch must
+    return bit-identical results to the host exact decoder on every row —
+    rows that stay on the fast tier AND rows that fall through to the
+    bound/exact tiers (and a ragged final sub-block)."""
     from crnn_ocr_tpu.ops.ctc_beam_device import (
         DISPATCH_BLOCK, ctc_beam_search_decode_tf)
     from crnn_ocr_tpu.ops.ctc_beam_exact import ctc_beam_search_decode_exact
 
+    blk = DISPATCH_BLOCK if DISPATCH_BLOCK > 0 else 32
     rng = np.random.default_rng(11)
-    B = 2 * DISPATCH_BLOCK + 6  # 3 blocks, last one ragged
+    B = 2 * blk + 6  # 3 sub-blocks, last one ragged
     T, C, bw, tp = 12, 7, 6, 2
     probs = np.exp(6 * rng.random((B, T, C))).astype(np.float32)  # peaky
     # near-uniform rows (cheap-proof bait) only in the middle block
     flat = 1.0 + 0.01 * rng.random((8, T, C))
-    probs[DISPATCH_BLOCK:DISPATCH_BLOCK + 8] = flat.astype(np.float32)
+    probs[blk:blk + 8] = flat.astype(np.float32)
     probs /= probs.sum(-1, keepdims=True)
     il = rng.integers(1, T + 1, (B,)).astype(np.int32)
 
@@ -206,6 +208,43 @@ def test_beam_reduces_to_greedy_on_peaky_input():
     g, _ = ctc.ctc_greedy_decode(probs, in_len)
     b_list, _ = ctc.ctc_decode(probs, in_len, greedy=False, beam_width=5)
     assert ctc.trim_dense(g) == ctc.trim_dense(b_list[0])
+
+
+def test_device_beam_prefilter_saturation_parity():
+    """Adversarial case for the per-branch top-(W+1) count prefilter: a
+    small beam (W=4, K1=5) over a wide near-flat alphabet guarantees many
+    branches have MORE than W+1 candidates above the weakest stays, so the
+    capped above-counts saturate and the parent's pre-kappa count must
+    come off the full candidate row (a prefilter-only subset count
+    undercounts there). Device decode must stay bit-identical to the host
+    exact replica."""
+    from crnn_ocr_tpu.ops.ctc_beam_device import ctc_beam_search_decode_tf
+    from crnn_ocr_tpu.ops.ctc_beam_exact import ctc_beam_search_decode_exact
+
+    rng = np.random.default_rng(23)
+    B, T, C, bw, tp = 16, 10, 24, 4, 2
+    # near-flat with structured jitter: dense candidate pileups above the
+    # weak stays every frame
+    probs = (1.0 + 0.05 * rng.random((B, T, C))).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    il = rng.integers(3, T + 1, (B,)).astype(np.int32)
+
+    dec_h, logp_h = ctc_beam_search_decode_exact(
+        probs, il, beam_width=bw, top_paths=tp
+    )
+    dec_d, logp_d = ctc_beam_search_decode_tf(
+        probs, il, beam_width=bw, top_paths=tp
+    )
+    dec_d, logp_d = np.asarray(dec_d), np.asarray(logp_d)
+    for p in range(tp):
+        np.testing.assert_array_equal(
+            _trim_cols(dec_d[p]), _trim_cols(dec_h[p]), err_msg=f"path {p}"
+        )
+    finite = np.isfinite(logp_h)
+    np.testing.assert_array_equal(np.isfinite(logp_d), finite)
+    np.testing.assert_allclose(
+        logp_d[finite], logp_h[finite], rtol=5e-4, atol=5e-4
+    )
 
 
 def test_beam_top_paths_guard():

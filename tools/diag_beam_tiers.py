@@ -2,11 +2,11 @@
 
 The on-device TF-exact beam search (ops/ctc_beam_device.py) dispatches each
 frame through three tiers: a cheap syntactic proof, an eviction-bound proof,
-and the exact sequential-gating pass. Dispatch is per SUB-BLOCK of
-``DISPATCH_BLOCK`` samples (one ``lax.cond`` ladder per block per frame), so
-an inadmissible sample sinks only its own block into the slower tiers. This
-tool quantifies that: per-sample AND per-block tier admission on peaked
-(deployment) vs near-uniform (worst-case) posteriors.
+and the exact sequential-gating pass. Dispatch is batch-global by default
+(``DISPATCH_BLOCK=0``); this tool quantifies per-sample, per-frame, and
+hypothetical per-block tier admission on peaked (deployment) vs near-uniform
+(worst-case) posteriors — the data behind the dispatch-granularity decision
+recorded in the decoder.
 
 Run on CPU (predicate math is backend-independent):
     PYTHONPATH=/root/repo python tools/diag_beam_tiers.py
@@ -57,19 +57,23 @@ def report(kind: str, B: int = 32, T: int = 30, C: int = 81, W: int = 10):
     print(f"  batch-global frames: tier1 {frame_cheap.mean():.3f}  "
           f"tier1|2(fast) {frame_fast.mean():.3f}  "
           f"slow {1 - frame_fast.mean():.3f}")
-    # per-block dispatch granularity (what the decoder actually pays):
-    # fraction of (frame, block) conds resolving at each tier
+    # hypothetical per-block dispatch granularity (block=32): fraction of
+    # (frame, block) conds that would resolve at each tier — the number
+    # that decided AGAINST per-block dispatch (blocks are rarely clean
+    # when any sample is dirty, so per-block multiplies latency-bound
+    # slow-path invocations; DISPATCH_BLOCK=0 batch-global is the default)
     from crnn_ocr_tpu.ops.ctc_beam_device import DISPATCH_BLOCK
-    nblk = (B + DISPATCH_BLOCK - 1) // DISPATCH_BLOCK
+    blk = DISPATCH_BLOCK if DISPATCH_BLOCK > 0 else 32
+    nblk = (B + blk - 1) // blk
     blk_cheap = np.array([
-        cheap[:, s * DISPATCH_BLOCK:(s + 1) * DISPATCH_BLOCK].all(axis=1)
+        cheap[:, s * blk:(s + 1) * blk].all(axis=1)
         for s in range(nblk)
     ])  # (nblk, T)
     blk_fast = np.array([
-        fast[:, s * DISPATCH_BLOCK:(s + 1) * DISPATCH_BLOCK].all(axis=1)
+        fast[:, s * blk:(s + 1) * blk].all(axis=1)
         for s in range(nblk)
     ])
-    print(f"  per-block({DISPATCH_BLOCK}) conds: tier1 "
+    print(f"  per-block({blk}) conds: tier1 "
           f"{blk_cheap.mean():.3f}  tier1|2(fast) {blk_fast.mean():.3f}  "
           f"slow {1 - blk_fast.mean():.3f}  (blocks={nblk})")
     # where do rejections cluster in time?
