@@ -71,6 +71,17 @@ adjacent duplicate labels merge in the output (``merge_repeated=True``).
 Bit-parity with the host oracle (ops/ctc_beam_exact.py, itself 0-mismatch
 fuzzed against tf_keras) is asserted by tests/test_ctc_decode.py and
 tools/fuzz_beam_oracle.py --device.
+
+Tie scope (r3 prefilter): the per-branch top-(W+1) comes from one shared
+top-M of lp plus per-branch patches (see the phase-2 comment). Candidate
+VALUES are exact in every case; the LABEL picked among exactly-tied values
+can differ from the host oracle only when f32 rounding COLLAPSES two
+unequal lp lanes under the +total shift ACROSS the top-M boundary — a
+sub-resolution-tie regime where TF's own C++ summation order decides and
+neither the old device code nor the host oracle reproduces TF anyway
+(measured on 1e-6-jitter degenerate inputs: old 5/64 == new 5/64
+agreement with the live tf_keras oracle; on the realistic fuzz
+distributions old and new decode 200/200 configs identically).
 """
 
 from __future__ import annotations
@@ -119,9 +130,11 @@ def _sel1(onehot, vals):
 # Tier machinery. Each function takes ``p``: a dict of per-sample tensors
 # built by ``_beam_step`` (possibly a DISPATCH_BLOCK slice of the batch —
 # samples decode independently, so any block-wise restriction of the batch
-# axis is exact). Keys: total, s_total, stay_total, inv_perm, cand,
+# axis is exact). Keys: total, s_total, stay_total, inv_perm,
 # cv_b + pool_idx_b (the per-branch top-(W+1) candidate prefilter the
-# tiers run on), last_label, parent_found, parent_idx, alive, eligible,
+# tiers run on), lp + lp_label + par_total/par_p_b/par_label (the
+# decomposed candidate structure — no (B, W, C) cand tensor exists),
+# last_label, parent_found, parent_idx, alive, eligible,
 # topv1, topi1, cheap_s, cheap_safe, bsel, ok_a, ok_c.
 # ---------------------------------------------------------------------------
 
@@ -139,11 +152,14 @@ def _evict_counts(p, W: int, C: int):
     is the true count. (The full-C compare-reduce this replaces was a
     (B, W, W, C) ~21M-element tensor at B=256; the prefilter version is
     C/K1 ~ 7x smaller.) The one count that must be exact UNCAPPED —
-    the parent's own pre-regeneration candidates, a SUBSET count where
-    capping arguments don't apply — selects the parent's full candidate
-    row with a one-hot MXU matmul (Precision.HIGHEST: one-hot times x
-    reconstructs x bit-exactly from its bf16x3 splits) and counts over
-    all C lanes there.
+    the parent's own pre-regeneration candidates, a SUBSET count whose
+    in-branch beaters need not precede kappa_j, so neither capping nor
+    the top-M prefilter can bound it — is reconstructed from the
+    decomposed candidate structure: a full-C compare on the parent's
+    total-route values (lp + par_total, bit-identical to the old
+    materialized cand row by f32 commutativity) plus +/-1 corrections
+    for the <= W+1 patched lanes (own-label blank-route patch and
+    child-stay exclusions).
     """
     iW = jnp.arange(W)
     stay_total, inv_perm = p["stay_total"], p["inv_perm"]
@@ -165,18 +181,57 @@ def _evict_counts(p, W: int, C: int):
     above_cnt = jnp.sum(cgt, axis=3, dtype=jnp.int32)  # (B, Wj, Wi) capped
     pj = jnp.where(p["parent_found"], p["parent_idx"], W)  # (B, W)
     pj_onehot = pj[:, :, None] == iW[None, None, :]  # (B, Wj, Wi)
-    parent_vals = jnp.einsum(
-        "bji,bic->bjc", pj_onehot.astype(jnp.float32), p["cand"],
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (B, Wj, C): the parent's full candidate row (0 when no parent;
-    #    every use below is masked by parent_found/par_open)
+    # The parent's pre-regeneration candidate count is computed off the
+    # decomposed candidate structure (no (B, W, C) cand tensor exists any
+    # more): parent cand value at label c is lp[c] + par_total, EXCEPT the
+    # parent's own last label (blank route only -> par_p_b + lp) and the
+    # parent's child-stay exclusions (NEG). Base = full-lane count on the
+    # total-route values; the <= W+1 patched lanes are +/-1 corrections.
+    # f32 addition is commutative, so lp + par_total here is bit-identical
+    # to the old cand's route + lp.
     lab_lt = (
         jnp.arange(C)[None, None, :]
         < jnp.maximum(p["last_label"], 0)[:, :, None]
     )  # (B, Wj, C): labels before branch j's regeneration label
-    partial_pj = jnp.sum(
-        (parent_vals > sv_j) & lab_lt, axis=2, dtype=jnp.int32
-    )  # (B, Wj): parent's pre-regeneration candidates above stay j (exact)
+    nonblank = jnp.arange(C)[None, None, :] != (C - 1)
+    base = jnp.sum(
+        (p["lp"][:, None, :] + p["par_total"][:, :, None] > sv_j)
+        & lab_lt & nonblank,
+        axis=2, dtype=jnp.int32,
+    )  # (B, Wj): total-route parent candidates above stay j, pre-kappa
+    # patch lane: the parent's own last label rides the blank route
+    par_label = p["par_label"]  # (B, W) label of parent's last emission
+    par_lp_lab = _sel1(pj_onehot, p["lp_label"])  # (B, W) lp[par_label]
+    kappa = jnp.maximum(p["last_label"], 0)
+    patch_in = (par_label < kappa) & (par_label >= 0)
+    v_total = p["par_total"] + par_lp_lab
+    v_patch = p["par_p_b"] + par_lp_lab
+    # is the parent's (par, par_label) extension itself a carried stay?
+    child_lab = p["last_label"]  # (B, Wk)
+    child_of_par = (
+        p["parent_found"][:, None, :]
+        & (p["parent_idx"][:, None, :] == pj[:, :, None])
+    )  # (B, Wj, Wk): stay k is a child of branch j's parent
+    patch_excl = jnp.any(
+        child_of_par & (child_lab[:, None, :] == par_label[:, :, None]),
+        axis=2,
+    )  # (B, Wj)
+    corr = jnp.where(
+        patch_in,
+        -(v_total > stay_total).astype(jnp.int32)
+        + jnp.where(patch_excl, 0, (v_patch > stay_total).astype(jnp.int32)),
+        0,
+    )  # (B, Wj)
+    # child-stay exclusions of the parent: each zeroes one counted lane
+    excl_sub = jnp.sum(
+        child_of_par
+        & (child_lab[:, None, :] != par_label[:, :, None])
+        & (child_lab[:, None, :] < kappa[:, :, None])
+        & (p["lp_label"][:, None, :] + p["par_total"][:, :, None] > sv_j),
+        axis=2, dtype=jnp.int32,
+    )  # (B, Wj)
+    partial_pj = base + corr - excl_sub  # exact, garbage-but-masked when
+    #    parent_found is false (pj = W -> par_open/par_notclosed gate it out)
     return stays_above, above_cnt, partial_pj, pj, pj_onehot
 
 
@@ -455,53 +510,73 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
     ).astype(jnp.int32)  # (B, W): sorted position of branch j's stay
 
     # ---------------- Phase 2: candidate pool ----------------
-    # Candidate (branch i, label l): parent-route mass + emission.
-    route = jnp.where(
-        jnp.arange(C)[None, None, :] == last_label[:, :, None],
-        p_b[:, :, None],
-        total[:, :, None],
-    )  # (B, W, C)
-    cand = route + lp[:, None, :]
-    # Child-stay exclusion (point 2 of the docstring): (i, l) whose prefix
-    # is a carried stay never enters the pool (active -> folded in phase 1
-    # and skipped; evicted -> regeneration always rejected).
+    # Candidate (branch i, label l): parent-route mass + emission —
+    # cand[i, l] = total_i + lp[l] for every label EXCEPT (a) branch i's
+    # own last label (blank route only: p_b_i + lp), (b) child-stay
+    # exclusions (point 2 of the docstring: (i, l) whose prefix is a
+    # carried stay never enters the pool), (c) blank, (d) dead branches.
+    # So the candidate matrix is a rank-1 structure (one shared lp row +
+    # per-branch offsets) with at most W+1 patched lanes per branch — the
+    # (B, W, C) cand tensor is never materialized. Per-branch top-(W+1)
+    # comes from ONE shared top-M of lp (M = K1 + W + 1 non-blank lanes:
+    # masking removes <= 1 own-label + <= W child lanes per branch, so
+    # >= K1 shared lanes always survive) plus the patch lane, re-sorted by
+    # (value desc, label asc) — the shift by total_i can COLLAPSE distinct
+    # lp values into f32 ties, where TF's pool order demands label-
+    # ascending, so a 2-key lax.sort over the M+1 lanes (not a positional
+    # top_k) restores exact tie order. (This replaced a (B*W, C) top_k
+    # over a materialized cand — 81-lane sort, ~8% of decode leaf time —
+    # plus the (B, W, C) cand fusion itself, ~15%, traced on v5e.)
+    eligible = alive & (total > NEG / 2)
+    K1 = min(W + 1, C)  # a branch has only C candidates; min() is lossless
+    M = min(C - 1, K1 + W + 1)  # shared non-blank lp lanes to carry
+    lp_nb = jnp.where(jnp.arange(C)[None, :] == blank, NEG, lp)
+    glv, gli = jax.lax.top_k(lp_nb, M)  # (B, M) shared lanes, ties by label
+    # child-stay exclusions, as per-branch LABEL SETS (<= W labels total):
+    # stay k is branch i's child iff parent linkage matches; the excluded
+    # label is then last_label[k].
     child_of = (
         (parent_hash[:, None, :] == hashes[:, :, None])
         & (parent_hash2[:, None, :] == hashes2[:, :, None])
         & (length[:, None, :] == length[:, :, None] + 1)
         & alive[:, None, :]
         & alive[:, :, None]
-    )  # (B, i, j): stay j is branch i's child
-    # lab_onehot defined in phase 1 (reused here)
-    excl = jnp.einsum(
-        "bij,bjc->bic", child_of.astype(jnp.float32),
-        lab_onehot.astype(jnp.float32),
-    ) > 0.5  # (B, i, C)
-    dead_col = jnp.arange(C)[None, None, :] == blank
-    cand = jnp.where(excl | dead_col | ~alive[:, :, None], NEG, cand)
-
-    # Pool: [sorted stays (W), candidates (W*C, (branch, label) order)].
-    eligible = alive & (total > NEG / 2)
-
-    # Per-branch candidate top-(W+1): any candidate in the pool's top-(W+1)
-    # is within its own branch's top-(W+1) (fewer than W+1 higher-priority
-    # entries globally implies fewer than W+1 within its branch), so one
-    # reshaped (B*W, C) top_k + a narrow merge replaces the top_k over the
-    # (B, W+W*C) pool — which lowers as a FULL 820-lane stable sort
-    # (61 us/frame at B=256, traced; half the fast-path cost). An earlier
-    # many-small-rows variant of this prefilter measured slower on v5e;
-    # the single reshaped (B*W, C) top_k is what makes it pay. Per-branch
-    # ties keep label-ascending order and the merge concat keeps
-    # [stays | branch 0 | branch 1 | ...], so the lexicographic pool
-    # priority (value desc; stays before candidates; lower branch, then
-    # lower label) is preserved exactly — values AND mapped indices of the
-    # reduced-pool top-(W+1) equal the full pool's.
-    K1 = min(W + 1, C)  # a branch has only C candidates; min() stays lossless
-    cv_b, ci_b = jax.lax.top_k(cand.reshape(B * W, C), K1)
-    cv_b = cv_b.reshape(B, W, K1)  # (B, W, K1) values, desc
+    )  # (B, i, k): stay k is branch i's child
+    # shared lane masking: lane m of branch i dies if its label is branch
+    # i's own last label (that lane is patched) or an excluded child label
+    sh_excl = jnp.any(
+        child_of[:, :, :, None]
+        & (last_label[:, None, :, None] == gli[:, None, None, :]),
+        axis=2,
+    )  # (B, W, M)
+    sh_own = gli[:, None, :] == last_label[:, :, None]  # (B, W, M)
+    sh_vals = jnp.where(
+        sh_excl | sh_own | ~alive[:, :, None],
+        NEG,
+        glv[:, None, :] + total[:, :, None],
+    )  # (B, W, M)
+    sh_labs = jnp.where(
+        sh_excl | sh_own | ~alive[:, :, None], blank, gli[:, None, :]
+    )
+    # patch lane: branch i's own last label rides the blank-only route —
+    # unless that extension is itself a carried stay (child with the same
+    # label), or the branch has no label yet (root), or the branch is dead
+    patch_excl = jnp.any(
+        child_of & (last_label[:, None, :] == last_label[:, :, None]),
+        axis=2,
+    )  # (B, W)
+    patch_ok = has_label & alive & ~patch_excl
+    patch_val = jnp.where(patch_ok, p_b + lp_label, NEG)[:, :, None]
+    patch_lab = jnp.where(patch_ok, last_label, blank)[:, :, None]
+    mini_v = jnp.concatenate([sh_vals, patch_val], axis=2)  # (B, W, M+1)
+    mini_l = jnp.concatenate([sh_labs, patch_lab], axis=2)
+    negv, ci_b = jax.lax.sort(
+        (-mini_v, mini_l.astype(jnp.int32)), dimension=2, num_keys=2
+    )
+    cv_b = -negv[:, :, :K1]  # (B, W, K1) values desc, ties label-asc
+    ci_b = ci_b[:, :, :K1]
     pool_idx_b = (
-        W + jnp.arange(W, dtype=jnp.int32)[None, :, None] * C
-        + ci_b.reshape(B, W, K1)
+        W + jnp.arange(W, dtype=jnp.int32)[None, :, None] * C + ci_b
     )  # (B, W, K1): each entry's index in the full [stays | cand] pool
     small_idx = jnp.concatenate(
         [jnp.broadcast_to(iW[None, :], (B, W)).astype(jnp.int32),
@@ -567,8 +642,9 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
     # restricting every tensor to a block of rows is exact.
     per = dict(
         total=total, s_total=s_total, stay_total=stay_total,
-        inv_perm=inv_perm, cand=cand, cv_b=cv_b, pool_idx_b=pool_idx_b,
-        last_label=last_label,
+        inv_perm=inv_perm, cv_b=cv_b, pool_idx_b=pool_idx_b,
+        last_label=last_label, lp=lp, lp_label=lp_label,
+        par_total=par_total, par_p_b=par_p_b, par_label=par_label,
         parent_found=parent_found, parent_idx=parent_idx, alive=alive,
         eligible=eligible, topv1=topv1, topi1=topi1, cheap_s=cheap_s,
         cheap_safe=cheap_safe, bsel=bsel, ok_a=ok_a, ok_c=ok_c,

@@ -247,6 +247,32 @@ def test_device_beam_prefilter_saturation_parity():
     )
 
 
+def test_device_beam_quantized_ties_match_host_oracle():
+    """Exact value ties (quantized logits) must resolve identically to the
+    host oracle: the decomposed-candidate prefilter's 2-key (value, label)
+    sort — not lane position — is what preserves TF's label-ascending tie
+    order after the +total_i shift (ops/ctc_beam_device.py phase 2)."""
+    from crnn_ocr_tpu.ops.ctc_beam_device import ctc_beam_search_decode_tf
+    from crnn_ocr_tpu.ops.ctc_beam_exact import ctc_beam_search_decode_exact
+
+    rng = np.random.default_rng(29)
+    B, T, C, bw = 8, 12, 30, 10
+    # half-unit quantized logits -> dense EXACT ties across labels
+    logits = np.round(rng.normal(size=(B, T, C)).astype(np.float32) * 2) / 2
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = (probs / probs.sum(-1, keepdims=True)).astype(np.float32)
+    il = rng.integers(2, T + 1, (B,)).astype(np.int32)
+
+    dec_h, logp_h = ctc_beam_search_decode_exact(probs, il, beam_width=bw)
+    dec_d, logp_d = ctc_beam_search_decode_tf(probs, il, beam_width=bw)
+    dec_d, logp_d = np.asarray(dec_d), np.asarray(logp_d)
+    np.testing.assert_array_equal(_trim_cols(dec_d[0]), _trim_cols(dec_h[0]))
+    finite = np.isfinite(logp_h)
+    np.testing.assert_allclose(
+        logp_d[finite], logp_h[finite], rtol=5e-4, atol=5e-4
+    )
+
+
 def test_beam_top_paths_guard():
     probs = np.full((1, 4, 3), 1 / 3, np.float32)
     with pytest.raises(ValueError):

@@ -59,7 +59,8 @@ for trial in range(N):
         # Every random shape compiles fresh programs; hundreds of cached
         # executables in a TF+JAX process exhaust the address map budget
         # (observed: LLVM "Cannot allocate memory" then SIGSEGV mid-run).
-        jax.clear_caches()
+        if DEVICE:
+            jax.clear_caches()
         print(f"trial {trial}/{N}, {bad} mismatches", flush=True)
     B = int(rng.integers(1, 4)); T = int(rng.integers(2, 24)); C = int(rng.integers(3, 30))
     bw = int(rng.integers(1, 12)); tp = int(rng.integers(1, bw + 1))
