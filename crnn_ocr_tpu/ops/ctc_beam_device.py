@@ -531,7 +531,16 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
     K1 = min(W + 1, C)  # a branch has only C candidates; min() is lossless
     M = min(C - 1, K1 + W + 1)  # shared non-blank lp lanes to carry
     lp_nb = jnp.where(jnp.arange(C)[None, :] == blank, NEG, lp)
-    glv, gli = jax.lax.top_k(lp_nb, M)  # (B, M) shared lanes, ties by label
+    glv, gli = jax.lax.top_k(lp_nb, M)  # (B, M) shared lanes
+    # Re-order the shared lanes LABEL-ascending (one tiny per-frame sort)
+    # so the per-branch top_k below breaks value ties by lane position ==
+    # label order — TF's exact in-branch tie rule — on the fast TopK path.
+    # (A 2-key (value, label) lax.sort over the branch lanes was built
+    # first and was bit-exact, but the variadic comparator sort bypassed
+    # the TopK lowering: 22% of decode device time, traced on v5e.)
+    gli_s, glv_s = jax.lax.sort(
+        (gli.astype(jnp.int32), glv), dimension=1, num_keys=1
+    )  # (B, M) labels asc, values co-sorted
     # child-stay exclusions, as per-branch LABEL SETS (<= W labels total):
     # stay k is branch i's child iff parent linkage matches; the excluded
     # label is then last_label[k].
@@ -546,21 +555,32 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
     # i's own last label (that lane is patched) or an excluded child label
     sh_excl = jnp.any(
         child_of[:, :, :, None]
-        & (last_label[:, None, :, None] == gli[:, None, None, :]),
+        & (last_label[:, None, :, None] == gli_s[:, None, None, :]),
         axis=2,
     )  # (B, W, M)
-    sh_own = gli[:, None, :] == last_label[:, :, None]  # (B, W, M)
+    sh_own = gli_s[:, None, :] == last_label[:, :, None]  # (B, W, M)
     sh_vals = jnp.where(
         sh_excl | sh_own | ~alive[:, :, None],
         NEG,
-        glv[:, None, :] + total[:, :, None],
+        glv_s[:, None, :] + total[:, :, None],
     )  # (B, W, M)
-    sh_labs = jnp.where(
-        sh_excl | sh_own | ~alive[:, :, None], blank, gli[:, None, :]
-    )
+    # per-branch top over the label-ordered shared lanes: positional ties
+    # == label-ascending ties, so plain top_k is TF-exact here
+    Ks = min(K1, M)
+    sv_k1, sp_k1 = jax.lax.top_k(sh_vals, Ks)  # (B, W, Ks)
+    sl_k1 = jnp.sum(
+        jnp.where(
+            sp_k1[:, :, :, None]
+            == jnp.arange(M, dtype=jnp.int32)[None, None, None, :],
+            gli_s[:, None, None, :], 0,
+        ),
+        axis=3,
+    )  # (B, W, Ks) labels of the selected shared lanes
     # patch lane: branch i's own last label rides the blank-only route —
     # unless that extension is itself a carried stay (child with the same
-    # label), or the branch has no label yet (root), or the branch is dead
+    # label), or the branch has no label yet (root), or the branch is dead.
+    # Merge the single patch value into the sorted shared top by an
+    # arithmetic insert at its exact (value desc, label asc) position.
     patch_excl = jnp.any(
         child_of & (last_label[:, None, :] == last_label[:, :, None]),
         axis=2,
@@ -568,13 +588,25 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
     patch_ok = has_label & alive & ~patch_excl
     patch_val = jnp.where(patch_ok, p_b + lp_label, NEG)[:, :, None]
     patch_lab = jnp.where(patch_ok, last_label, blank)[:, :, None]
-    mini_v = jnp.concatenate([sh_vals, patch_val], axis=2)  # (B, W, M+1)
-    mini_l = jnp.concatenate([sh_labs, patch_lab], axis=2)
-    negv, ci_b = jax.lax.sort(
-        (-mini_v, mini_l.astype(jnp.int32)), dimension=2, num_keys=2
-    )
-    cv_b = -negv[:, :, :K1]  # (B, W, K1) values desc, ties label-asc
-    ci_b = ci_b[:, :, :K1]
+    beats = (sv_k1 > patch_val) | (
+        (sv_k1 == patch_val) & (sl_k1 < patch_lab)
+    )  # (B, W, Ks): shared entries ahead of the patch
+    pos = jnp.sum(beats, axis=2, dtype=jnp.int32)[:, :, None]  # (B, W, 1)
+    iK = jnp.arange(Ks + 1, dtype=jnp.int32)[None, None, :]
+    prev_v = jnp.concatenate([sv_k1[:, :, :1], sv_k1], axis=2)
+    prev_l = jnp.concatenate([sl_k1[:, :, :1], sl_k1], axis=2)
+    here_v = jnp.concatenate([sv_k1, sv_k1[:, :, -1:]], axis=2)
+    here_l = jnp.concatenate([sl_k1, sl_k1[:, :, -1:]], axis=2)
+    cv_b = jnp.where(
+        iK < pos, here_v,
+        jnp.where(iK == pos, jnp.broadcast_to(patch_val, here_v.shape),
+                  prev_v),
+    )[:, :, :K1]  # (B, W, K1) values desc, ties label-asc — exact
+    ci_b = jnp.where(
+        iK < pos, here_l,
+        jnp.where(iK == pos, jnp.broadcast_to(patch_lab, here_l.shape),
+                  prev_l),
+    )[:, :, :K1]
     pool_idx_b = (
         W + jnp.arange(W, dtype=jnp.int32)[None, :, None] * C + ci_b
     )  # (B, W, K1): each entry's index in the full [stays | cand] pool
