@@ -565,9 +565,14 @@ def _beam_step(state, inputs, *, W: int, C: int, force_fast: bool = False,
         glv_s[:, None, :] + total[:, :, None],
     )  # (B, W, M)
     # per-branch top over the label-ordered shared lanes: positional ties
-    # == label-ascending ties, so plain top_k is TF-exact here
+    # == label-ascending ties, so plain top_k is TF-exact here. The 2D
+    # reshape matters: a 3D (B, W, M) top_k lowered as a full variadic
+    # sort (19% of decode device time, traced), while (B*W, M) hits the
+    # TopK lowering — same trick as the retired (B*W, C) prefilter.
     Ks = min(K1, M)
-    sv_k1, sp_k1 = jax.lax.top_k(sh_vals, Ks)  # (B, W, Ks)
+    sv_k1, sp_k1 = jax.lax.top_k(sh_vals.reshape(B * W, M), Ks)
+    sv_k1 = sv_k1.reshape(B, W, Ks)
+    sp_k1 = sp_k1.reshape(B, W, Ks)
     sl_k1 = jnp.sum(
         jnp.where(
             sp_k1[:, :, :, None]
