@@ -85,11 +85,12 @@ def main() -> int:
     # vs the cross-checked benchmarks/run_all.py row at identical shapes).
     # K=256 puts ~230 ms behind the same RTT, bounding that error at ~4%.
     # The K distinct input batches are DERIVED ON DEVICE inside the scan
-    # (base batch XOR step counter; widths rotated per step) — one 2.3 MB
-    # host->device transfer instead of K of them, so large K costs no
-    # tunnel bandwidth. The XOR/roll depend on the scanned step index, so
-    # XLA cannot hoist the body (hoisted constant bodies read as fake
-    # sub-ms steps on this tunnel).
+    # (base batch XOR step counter) — one 2.3 MB host->device transfer
+    # instead of K of them, so large K costs no tunnel bandwidth. The XOR
+    # depends on the scanned step index, so XLA cannot hoist the body
+    # (hoisted constant bodies read as fake sub-ms steps on this tunnel).
+    # Widths stay paired with their images across steps: every step is a
+    # real batch with true per-image valid widths.
     K = int(os.environ.get("BENCH_SCAN_LEN", "256"))
     raw_d = jnp.asarray(raw)
     hs_d = jnp.asarray(heights)
@@ -103,8 +104,7 @@ def main() -> int:
         # (unlike a TPU-VM PCIe link) would otherwise dominate.
         def one(carry, k):
             raw_k = raw_d ^ k.astype(jnp.uint8)
-            ws_k = jnp.roll(ws_d, k)
-            decoded, score = serve(variables, raw_k, hs_d, ws_k)
+            decoded, score = serve(variables, raw_k, hs_d, ws_d)
             return (
                 carry[0] + jnp.sum(score),
                 carry[1] + jnp.sum(decoded),

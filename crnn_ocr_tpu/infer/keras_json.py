@@ -261,6 +261,16 @@ def infer_name_map_from_h5(path: str):
     # height-pool product, so validate instead of silently guessing
     # (SURVEY.md C8; a mis-pooled model would import cleanly and decode
     # garbage otherwise).
+    #
+    # LIMITATION (unverifiable from weights alone): only the HEIGHT pool
+    # product is pinned by a weight shape. WIDTH pools after the first
+    # block are assumed (2,1); they change only the timestep count, which
+    # no kernel shape records — a model with (2,2) width pools in later
+    # blocks imports cleanly here and decodes garbage (wrong time axis).
+    # If decodes from a bare-.h5 import are systematically wrong, provide
+    # the saved architecture JSON (model_config_from_keras_json), which
+    # carries the true pool ladder. Documented in MIGRATION.md; behavior
+    # pinned by tests/test_predictor.py (mispooled-width fixture).
     assumed_pools = ((2, 2),) + ((2, 1),) * (len(block_filters) - 1)
     height = 32
     if block_filters and time_dense is not None:
@@ -279,6 +289,18 @@ def infer_name_map_from_h5(path: str):
                 f"uses a different pooling/height; provide the saved "
                 f"architecture JSON (model_config_from_keras_json) instead."
             )
+    import warnings
+
+    warnings.warn(
+        "inferring architecture from bare .h5 weights: the HEIGHT pool "
+        "ladder was validated against the time_dense input dim, but WIDTH "
+        f"pools are ASSUMED to be {assumed_pools} (stem (2,2) + (2,1) "
+        "blocks — the reference's layout) and cannot be verified from "
+        "weight shapes. A model with different width pools will import "
+        "cleanly and decode garbage; if decodes are systematically wrong, "
+        "provide the saved architecture JSON instead (MIGRATION.md).",
+        stacklevel=2,
+    )
     mc = ModelConfig(
         num_classes=logits_dim - 1,
         stem_filters=stem_filters or 64,

@@ -279,5 +279,54 @@ def test_infer_name_map_rejects_mispooled_h5(tmp_path):
     with pytest.raises(ValueError, match="pool"):
         infer_name_map_from_h5(str(dst))
     # and the pristine file still passes the validation
-    cfg, _ = infer_name_map_from_h5(str(src))
+    with pytest.warns(UserWarning, match="WIDTH"):
+        cfg, _ = infer_name_map_from_h5(str(src))
     assert cfg.block_filters == (16, 16, 24, 24)
+
+
+def test_infer_name_map_width_pools_are_an_unverifiable_assumption():
+    """Characterizes the documented bare-.h5 limitation (MIGRATION.md,
+    keras_json.py): WIDTH pools after the first block change only the
+    timestep count — no kernel/bias shape records them — so a model that
+    really used (2,2) width pools in later blocks produces an .h5 that is
+    SHAPE-IDENTICAL to the assumed-(2,1) one. Inference therefore cannot
+    reject it; the contract is (a) the import always assumes (2,1) width
+    pools, and (b) every bare-.h5 inference emits a loud warning naming
+    the assumption and the architecture-JSON override."""
+    from crnn_ocr_tpu.infer.keras_json import infer_name_map_from_h5
+    from crnn_ocr_tpu.models import CRNN, ModelConfig
+
+    src = GOLDENS / "migration_autonamed" / "model.h5"
+    if not src.exists():
+        pytest.skip("run tools/gen_keras_parity.py")
+    with pytest.warns(UserWarning, match=r"WIDTH.*ASSUMED|ASSUMED.*WIDTH"):
+        cfg, _ = infer_name_map_from_h5(str(src))
+    # (a) the assumption: stem (2,2), all later blocks (2,1) width pools
+    assert cfg.block_pools[0] == (2, 2)
+    assert all(p == (2, 1) for p in cfg.block_pools[1:])
+    # (b) shape-identity of the width-mispooled twin: a config differing
+    # ONLY in later width pools initializes the EXACT same parameter
+    # shapes, so no shape check can ever distinguish them from weights.
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg_mis = dataclasses.replace(
+        cfg,
+        block_pools=(cfg.block_pools[0],)
+        + tuple((ph, 2) for ph, _ in cfg.block_pools[1:]),
+        width=128,
+    )
+    cfg_ok = dataclasses.replace(cfg, width=128)
+    x = jnp.zeros((1, cfg_ok.height, 128, 1), jnp.float32)
+    shapes = []
+    for c in (cfg_ok, cfg_mis):
+        v = CRNN(cfg=c).init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            x, train=False,
+        )
+        shapes.append(
+            jax.tree.map(lambda a: jnp.shape(a), v["params"])
+        )
+    assert shapes[0] == shapes[1]
