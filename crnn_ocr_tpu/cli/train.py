@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--layout", default="annotation", choices=["annotation", "filename"]
     )
     p.add_argument("--val_fraction", type=float, default=0.1)
+    p.add_argument("--limit", type=int, default=0,
+                   help="files dataset: cap the sample list (0 = all); "
+                        "quick smoke runs over a large corpus")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--max_label_len", type=int, default=32)
     p.add_argument(
@@ -38,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-norm", dest="norm", action="store_false",
                    help="disable per-image normalization")
     p.add_argument("--augment", action="store_true")
+    p.add_argument("--pack_cache", action="store_true",
+                   help="files dataset: decode each image ONCE into mmap "
+                        "shards under <path>/.crnn_pack/, then feed every "
+                        "epoch decode-free (data/packed.py — removes the "
+                        "host PNG-decode bottleneck, SURVEY.md §3.5)")
     # model
     p.add_argument("--n_units", type=int, default=256)
     p.add_argument("--time_dense_size", type=int, default=128)
@@ -176,6 +184,8 @@ def main(argv=None) -> int:
                 max_label_len=args.max_label_len,
                 buckets=tuple(args.buckets),
                 shuffle_seed=args.seed,
+                pack_cache=args.pack_cache,
+                limit=args.limit or None,
             )
         )
         codec = reader.codec

@@ -1,5 +1,6 @@
 from crnn_ocr_tpu.data.codec import LabelCodec, default_ocr_codec
 from crnn_ocr_tpu.data.fontgen import FontConfig, FontTextlines
+from crnn_ocr_tpu.data.packed import PackedCache
 from crnn_ocr_tpu.data.pipeline import device_batches, synthetic_batches
 from crnn_ocr_tpu.data.reader import Reader, ReaderConfig
 from crnn_ocr_tpu.data.synthetic import SyntheticConfig, SyntheticTextlines
@@ -9,6 +10,7 @@ __all__ = [
     "FontTextlines",
     "LabelCodec",
     "default_ocr_codec",
+    "PackedCache",
     "Reader",
     "ReaderConfig",
     "SyntheticConfig",

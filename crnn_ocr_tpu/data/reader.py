@@ -45,6 +45,13 @@ class ReaderConfig:
     max_label_len: int = 32
     shuffle_seed: int = 0
     limit: Optional[int] = None
+    # Decode-once packed cache (data/packed.py): first epoch decodes each
+    # image once into per-bucket mmap shards under <path>/.crnn_pack/;
+    # every later batch assembles from mmap slices with ZERO image decodes.
+    # The batch stream (bucketing, shuffling, resume replay) is identical
+    # either way; pixels differ only by the cv2-vs-XLA resample bound
+    # (tests/test_data.py::test_packed_cache_*).
+    pack_cache: bool = False
 
 
 def _parse_filename_label(fname: str) -> str:
@@ -81,6 +88,12 @@ class Reader:
         self._sizes_path = os.path.join(cfg.path, ".crnn_sizes.json")
         self._size_cache: Dict[str, Tuple[int, int]] = {}
         self._sizes_dirty = 0
+        self._pack = None
+        if cfg.pack_cache:
+            from crnn_ocr_tpu.data.packed import PackedCache
+
+            self._pack = PackedCache(cfg.path, cfg.height, cfg.buckets)
+            self._pack_dirty = 0
         try:
             import json
 
@@ -145,6 +158,26 @@ class Reader:
     # ---- loading ----
 
     def _load_image(self, path: str) -> np.ndarray:
+        if self._pack is not None:
+            rel = os.path.relpath(path, self.cfg.path)
+            row = self._pack.get(rel)
+            if row is not None:
+                return row  # (height, w_new) mmap view, decode-free
+            img = self._decode_image(path)
+            try:
+                self._pack.add(rel, img)
+                self._pack_dirty += 1
+                if self._pack_dirty >= 1024:
+                    self._pack.flush_index()
+                    self._pack_dirty = 0
+                # return the cached row so first-epoch pixels match every
+                # later epoch (host cv2 resize once, identically)
+                return self._pack.get(rel)
+            except OSError:
+                return img  # read-only data dir: stay uncached
+        return self._decode_image(path)
+
+    def _decode_image(self, path: str) -> np.ndarray:
         import cv2
 
         img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
@@ -176,6 +209,9 @@ class Reader:
             b = self._size_bucket(int(i))
             by_bucket.setdefault(b, []).append(int(i))
         self._flush_sizes()  # persist any sizes this planning discovered
+        if self._pack is not None and self._pack_dirty:
+            self._pack.flush_index()
+            self._pack_dirty = 0
         batches = []
         for b, lst in sorted(by_bucket.items()):
             for k in range(0, len(lst), self.cfg.batch_size):
@@ -189,9 +225,15 @@ class Reader:
 
     def _size_bucket(self, i: int) -> int:
         key = self._size_key(i)
+        if self._pack is not None and key in self._pack:
+            # bucket was pinned when the row was packed (same rounding
+            # formula as _bucket_for_size, so cached == uncached streams)
+            return self._pack.entries[key][0]
         size = self._size_cache.get(key)
         if size is None:
             img = self._load_image(self.samples[i][0])
+            if self._pack is not None and key in self._pack:
+                return self._pack.entries[key][0]  # _load_image packed it
             size = (int(img.shape[0]), int(img.shape[1]))
             self._size_cache[key] = size
             self._sizes_dirty += 1
