@@ -1,0 +1,152 @@
+"""End-to-end training throughput from an ON-DISK image corpus (VERDICT r3 #1).
+
+Every committed train-step figure is device-only in-jit timing (the 36.4k
+lines/s bf16 ceiling at B=128/W=128); SURVEY §3.5 names the host data
+generator the reference's true bottleneck. This benchmark measures what a
+user actually gets from `cli.train` over a files-layout corpus:
+
+  1. UNCACHED:  cv2 decodes every image every epoch (the reference's Readf
+                regime, minus its host resize — that part is device-fused);
+  2. cache build: one decode+resize pass into mmap shards (data/packed.py),
+                timed separately;
+  3. CACHED:    --pack_cache steady state — batches assemble from mmap.
+
+Sustained lines/s comes from metrics.jsonl over a post-warmup window
+(compile time excluded). Emits one JSON blob and merges a
+`train_e2e_files_b128` row into benchmarks/results.json.
+
+Usage (on the TPU):
+  python tools/make_font_corpus.py --out /tmp/fonts10k_w128 --n 10000 \
+      --max_words 1 --max_w_new 128     # once
+  python benchmarks/bench_train_e2e.py --path /tmp/fonts10k_w128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# matches results.json train_step_b128_bf16 (3.52 ms device step at
+# B=128/W=128 bf16 => 36.4k lines/s) — the ceiling the host must feed
+DEVICE_CEILING_LINES_S = 36_400.0
+
+
+def run_train(path: str, save: str, steps: int, pack: bool,
+              log_every: int = 25) -> dict:
+    cmd = [
+        sys.executable, "-m", "crnn_ocr_tpu.cli.train",
+        "--path", path, "--buckets", "128", "--batch_size", "128",
+        "--steps", str(steps), "--eval_every", "1000000",
+        "--log_every", str(log_every), "--save_path", save,
+    ]
+    if pack:
+        cmd.append("--pack_cache")
+    t0 = time.time()
+    subprocess.run(cmd, check=True, cwd=REPO)
+    wall_total = time.time() - t0
+
+    recs = []
+    with open(os.path.join(save, "metrics.jsonl")) as f:
+        for line in f:
+            r = json.loads(line)
+            if r.get("kind") == "train":
+                recs.append(r)
+    # sustained window: from the first record past the warmup step to the
+    # last. lines_per_sec in the log is cumulative (lines_seen / wall), so
+    # recover absolute counters and difference the window.
+    warm = [r for r in recs if r["step"] >= 100]
+    a, b = warm[0], warm[-1]
+    lines_a = a["lines_per_sec"] * a["wall"]
+    lines_b = b["lines_per_sec"] * b["wall"]
+    sustained = (lines_b - lines_a) / (b["wall"] - a["wall"])
+    return {
+        "steps": steps,
+        "sustained_lines_per_sec": round(sustained, 1),
+        "window_steps": [a["step"], b["step"]],
+        "startup_s_incl_compile": round(recs[0]["wall"], 1),
+        "wall_total_s": round(wall_total, 1),
+        "final_loss": recs[-1]["loss"],
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--path", default="/tmp/fonts10k_w128")
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--skip_uncached", action="store_true")
+    args = p.parse_args(argv)
+
+    pack_dir = os.path.join(args.path, ".crnn_pack")
+    out = {"corpus": args.path,
+           "n_images": sum(1 for _ in open(
+               os.path.join(args.path, "annotation.txt")))}
+
+    with tempfile.TemporaryDirectory() as td:
+        if not args.skip_uncached:
+            shutil.rmtree(pack_dir, ignore_errors=True)
+            print("[e2e] UNCACHED run...", file=sys.stderr)
+            out["uncached"] = run_train(
+                args.path, os.path.join(td, "plain"), args.steps, pack=False
+            )
+
+        # timed cache build (host-only; decode+resize once per image)
+        shutil.rmtree(pack_dir, ignore_errors=True)
+        from crnn_ocr_tpu.data import Reader, ReaderConfig
+
+        t0 = time.time()
+        r = Reader(ReaderConfig(path=args.path, batch_size=128,
+                                buckets=(128,), pack_cache=True))
+        n = 0
+        for i in range(len(r.samples)):
+            r._load_image(r.samples[i][0])
+            n += 1
+        r._pack.flush_index()
+        build_s = time.time() - t0
+        out["cache_build"] = {
+            "images": n,
+            "build_s": round(build_s, 1),
+            "images_per_sec": round(n / build_s, 1),
+            "shard_mb": round(sum(
+                os.path.getsize(os.path.join(pack_dir, f))
+                for f in os.listdir(pack_dir)) / 1e6, 1),
+        }
+        print(f"[e2e] cache built: {out['cache_build']}", file=sys.stderr)
+
+        print("[e2e] CACHED run...", file=sys.stderr)
+        out["cached"] = run_train(
+            args.path, os.path.join(td, "packed"), args.steps, pack=True
+        )
+
+    out["device_ceiling_lines_per_sec"] = DEVICE_CEILING_LINES_S
+    if "uncached" in out:
+        out["uncached"]["pct_of_ceiling"] = round(
+            100 * out["uncached"]["sustained_lines_per_sec"]
+            / DEVICE_CEILING_LINES_S, 1)
+    out["cached"]["pct_of_ceiling"] = round(
+        100 * out["cached"]["sustained_lines_per_sec"]
+        / DEVICE_CEILING_LINES_S, 1)
+
+    res_path = os.path.join(REPO, "benchmarks", "results.json")
+    try:
+        with open(res_path) as f:
+            results = json.load(f)
+    except (OSError, ValueError):
+        results = {}
+    results["train_e2e_files_b128"] = out
+    with open(res_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top_paths", type=int, default=1)
     p.add_argument("--exact_tf_beam", action="store_true",
                    help="bit-exact TF beam semantics (host decoder)")
+    p.add_argument("--beam_no_merge", action="store_true",
+                   help="standard CTC beam output (TF2 semantics): do NOT "
+                        "merge repeated labels across blanks. Default "
+                        "matches K.ctc_decode (TF-V1 merge_repeated=True), "
+                        "which collapses double letters ('door'->'dor')")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--no-norm", dest="norm", action="store_false")
     p.add_argument("--n_devices", type=int, default=1,
@@ -109,6 +114,7 @@ def main(argv=None) -> int:
         greedy=args.greedy,
         beam_width=args.beam_width,
         top_paths=args.top_paths,
+        merge_repeated=not args.beam_no_merge,
         exact_tf=args.exact_tf_beam,
         timing=args.timing,
     )

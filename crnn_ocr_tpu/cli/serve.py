@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "request) so every queued request can coalesce "
                         "into one compiled device program")
     p.add_argument("--top_paths", type=int, default=1)
+    p.add_argument("--beam_no_merge", action="store_true",
+                   help="standard CTC beam output (TF2 semantics): keep "
+                        "repeated labels across blanks. Default matches "
+                        "K.ctc_decode (TF-V1 merge_repeated=True), which "
+                        "collapses double letters ('door'->'dor')")
     p.add_argument("--no-norm", dest="norm", action="store_false")
     p.add_argument("--no-warmup", dest="warmup", action="store_false",
                    help="skip ahead-of-time compilation of all programs")
@@ -64,7 +69,8 @@ def main(argv=None) -> int:
 
     decode_kw = (
         {"greedy": False, "beam_width": args.beam_width,
-         "top_paths": args.top_paths}
+         "top_paths": args.top_paths,
+         "merge_repeated": not args.beam_no_merge}
         if args.beam_width > 0
         else {"greedy": True}
     )
@@ -87,6 +93,7 @@ def main(argv=None) -> int:
         server.batcher.warmup()
     mode = "greedy" if decode_kw.get("greedy") else (
         f"beam{args.beam_width}"
+        + ("-nomerge" if args.beam_no_merge else "")
     )
     print(
         f"serving on {args.host}:{server.port} "

@@ -161,10 +161,15 @@ class Predictor:
         greedy: bool = True,
         beam_width: int = 10,
         top_paths: int = 1,
+        merge_repeated: bool = True,
         exact_tf: bool = False,
         timing: bool = False,
         bucket: Optional[int] = None,
     ) -> List[Prediction]:
+        """``merge_repeated`` (beam only): True = Keras/TF-V1 parity
+        (repeated output labels merge even across blanks — collapses
+        double letters); False = standard CTC beam (TF2 semantics).
+        Scores are identical either way; see ops/ctc.py::ctc_decode."""
         t0 = time.perf_counter()
         probs, input_len = self.predict_probs(images, bucket=bucket)
         if greedy:
@@ -180,6 +185,7 @@ class Predictor:
                 np.asarray(input_len),
                 beam_width=beam_width,
                 top_paths=top_paths,
+                merge_repeated=merge_repeated,
             )
             scores = np.asarray(scores)
         else:
@@ -189,6 +195,7 @@ class Predictor:
                 greedy=False,
                 beam_width=beam_width,
                 top_paths=top_paths,
+                merge_repeated=merge_repeated,
             )
             scores = np.asarray(scores)
         dt = (time.perf_counter() - t0) * 1e3
@@ -308,6 +315,7 @@ def decode_predict_ctc(
     top_paths: int = 1,
     beam_width: int = 10,
     codec: Optional[LabelCodec] = None,
+    merge_repeated: bool = True,
 ):
     """Reference-parity free function: decode softmax outputs to label
     sequences (and text when a codec is given). ``out``: (B, T, C) probs."""
@@ -321,6 +329,7 @@ def decode_predict_ctc(
         greedy=False,
         beam_width=beam_width,
         top_paths=top_paths,
+        merge_repeated=merge_repeated,
     )
     paths = [ctc.trim_dense(d) for d in decoded_list]
     if codec is None:

@@ -534,6 +534,7 @@ def ctc_decode(
     greedy: bool = True,
     beam_width: int = 10,
     top_paths: int = 1,
+    merge_repeated: bool = True,
 ):
     """Drop-in equivalent of ``K.ctc_decode`` (tf_keras backend.py:7181).
 
@@ -541,6 +542,16 @@ def ctc_decode(
     (:mod:`crnn_ocr_tpu.ops.ctc_beam_device`), which replicates TF's
     sequential-eviction semantics bit-for-bit on the oracle fuzz
     distributions (see that module's docstring for the derivation).
+
+    ``merge_repeated=True`` (the default) matches ``K.ctc_decode`` exactly:
+    the Keras backend routes beam decoding through the **V1**
+    ``tf.compat.v1.nn.ctc_beam_search_decoder`` (backend.py:7222), whose
+    default merges repeated output labels even across blanks — collapsing
+    legitimate double letters ("door" -> "dor"). ``merge_repeated=False``
+    is the standard CTC beam search (what TF2's
+    ``tf.nn.ctc_beam_search_decoder`` does); the search and scores are
+    identical in both modes — TF merges only at output extraction.
+    See benchmarks/beam_value_eval.json for the measured accuracy gap.
 
     Returns ``(decoded_list, log_prob)`` where ``decoded_list`` is a list of
     ``top_paths`` dense (B, T) int32 arrays padded with -1 (greedy always
@@ -553,7 +564,8 @@ def ctc_decode(
     from crnn_ocr_tpu.ops.ctc_beam_device import ctc_beam_search_decode_tf
 
     decoded, scores = ctc_beam_search_decode_tf(
-        y_pred, input_length, beam_width=beam_width, top_paths=top_paths
+        y_pred, input_length, beam_width=beam_width, top_paths=top_paths,
+        merge_repeated=merge_repeated,
     )
     return [decoded[p] for p in range(top_paths)], scores
 

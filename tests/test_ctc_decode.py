@@ -396,3 +396,73 @@ def test_beam_top_paths_guard():
     with pytest.raises(ValueError):
         ctc.ctc_decode(probs, np.array([4]), greedy=False, beam_width=2,
                        top_paths=3)
+
+
+def test_beam_no_merge_preserves_blank_separated_repeats():
+    """merge_repeated=False (standard CTC / TF2 semantics) must keep
+    repeated labels that the search itself kept distinct via a blank
+    route; the Keras-V1 default (merge_repeated=True) merges them at
+    output extraction, collapsing legitimate double letters
+    ('door' -> 'dor'). Peaked frames [a, blank, a]: the CTC prefix is
+    (a, a) in both modes — only extraction differs. Scores must be
+    IDENTICAL across modes (K.ctc_decode backend.py:7222 merges only at
+    output; the search is shared)."""
+    from crnn_ocr_tpu.ops.ctc_beam_device import ctc_beam_search_decode_tf
+
+    C = 4  # labels {0,1,2}, blank = 3
+    eps = 1e-3
+    frames = np.full((3, C), eps, np.float32)
+    frames[0, 0] = 1.0  # 'a'
+    frames[1, 3] = 1.0  # blank
+    frames[2, 0] = 1.0  # 'a'
+    probs = (frames / frames.sum(-1, keepdims=True))[None]  # (1, 3, C)
+    il = np.array([3], np.int32)
+
+    dec_m, logp_m = ctc_beam_search_decode_tf(
+        probs, il, beam_width=4, top_paths=1, merge_repeated=True
+    )
+    dec_n, logp_n = ctc_beam_search_decode_tf(
+        probs, il, beam_width=4, top_paths=1, merge_repeated=False
+    )
+    np.testing.assert_array_equal(_trim_cols(np.asarray(dec_m)[0]),
+                                  [[0]])          # 'a'  (merged)
+    np.testing.assert_array_equal(_trim_cols(np.asarray(dec_n)[0]),
+                                  [[0, 0]])       # 'aa' (standard CTC)
+    np.testing.assert_array_equal(np.asarray(logp_m), np.asarray(logp_n))
+
+
+def test_device_beam_no_merge_matches_host_exact():
+    """Device decode with merge_repeated=False stays bit-identical to the
+    host exact replica in the same mode (labels), with equal-mode scores
+    matching the merged-mode scores (merge is output-only)."""
+    from crnn_ocr_tpu.ops.ctc_beam_device import ctc_beam_search_decode_tf
+    from crnn_ocr_tpu.ops.ctc_beam_exact import ctc_beam_search_decode_exact
+
+    rng = np.random.default_rng(41)
+    B, T, C, bw, tp = 12, 14, 12, 6, 3
+    logits = rng.normal(size=(B, T, C)).astype(np.float32) * 2.0
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = (probs / probs.sum(-1, keepdims=True)).astype(np.float32)
+    il = rng.integers(3, T + 1, (B,)).astype(np.int32)
+
+    dec_h, logp_h = ctc_beam_search_decode_exact(
+        probs, il, beam_width=bw, top_paths=tp, merge_repeated=False
+    )
+    dec_d, logp_d = ctc_beam_search_decode_tf(
+        probs, il, beam_width=bw, top_paths=tp, merge_repeated=False
+    )
+    dec_d, logp_d = np.asarray(dec_d), np.asarray(logp_d)
+    for p in range(tp):
+        np.testing.assert_array_equal(
+            _trim_cols(dec_d[p]), _trim_cols(dec_h[p]), err_msg=f"path {p}"
+        )
+    finite = np.isfinite(logp_h)
+    np.testing.assert_array_equal(np.isfinite(logp_d), finite)
+    np.testing.assert_allclose(
+        logp_d[finite], logp_h[finite], rtol=5e-4, atol=5e-4
+    )
+    # scores are mode-invariant on both implementations
+    _, logp_dm = ctc_beam_search_decode_tf(
+        probs, il, beam_width=bw, top_paths=tp, merge_repeated=True
+    )
+    np.testing.assert_array_equal(logp_d, np.asarray(logp_dm))
