@@ -41,7 +41,7 @@ DEVICE_CEILING_LINES_S = 36_400.0
 
 
 def run_train(path: str, save: str, steps: int, pack: bool,
-              log_every: int = 25) -> dict:
+              log_every: int = 25, steps_per_call: int = 1) -> dict:
     cmd = [
         sys.executable, "-m", "crnn_ocr_tpu.cli.train",
         "--path", path, "--buckets", "128", "--batch_size", "128",
@@ -50,6 +50,8 @@ def run_train(path: str, save: str, steps: int, pack: bool,
     ]
     if pack:
         cmd.append("--pack_cache")
+    if steps_per_call > 1:
+        cmd += ["--steps_per_call", str(steps_per_call)]
     t0 = time.time()
     subprocess.run(cmd, check=True, cwd=REPO)
     wall_total = time.time() - t0
@@ -83,6 +85,8 @@ def main(argv=None) -> int:
     p.add_argument("--path", default="/tmp/fonts10k_w128")
     p.add_argument("--steps", type=int, default=600)
     p.add_argument("--skip_uncached", action="store_true")
+    p.add_argument("--skip_cached_single", action="store_true")
+    p.add_argument("--steps_per_call", type=int, nargs="*", default=[16])
     args = p.parse_args(argv)
 
     pack_dir = os.path.join(args.path, ".crnn_pack")
@@ -121,19 +125,35 @@ def main(argv=None) -> int:
         }
         print(f"[e2e] cache built: {out['cache_build']}", file=sys.stderr)
 
-        print("[e2e] CACHED run...", file=sys.stderr)
-        out["cached"] = run_train(
-            args.path, os.path.join(td, "packed"), args.steps, pack=True
-        )
+        if not args.skip_cached_single:
+            print("[e2e] CACHED run...", file=sys.stderr)
+            out["cached"] = run_train(
+                args.path, os.path.join(td, "packed"), args.steps, pack=True
+            )
+
+        for K in args.steps_per_call:
+            # cached + K-step scan dispatch (train.step.make_multi_train_step)
+            # — amortizes the per-dispatch overhead the input-gap profile
+            # attributes (benchmarks/input_gap_profile.json)
+            print(f"[e2e] CACHED steps_per_call={K} run...", file=sys.stderr)
+            out[f"cached_k{K}"] = run_train(
+                args.path, os.path.join(td, f"packed_k{K}"), args.steps,
+                pack=True, steps_per_call=K,
+                log_every=max(25, K),
+            )
+            out[f"cached_k{K}"]["pct_of_ceiling"] = round(
+                100 * out[f"cached_k{K}"]["sustained_lines_per_sec"]
+                / DEVICE_CEILING_LINES_S, 1)
 
     out["device_ceiling_lines_per_sec"] = DEVICE_CEILING_LINES_S
     if "uncached" in out:
         out["uncached"]["pct_of_ceiling"] = round(
             100 * out["uncached"]["sustained_lines_per_sec"]
             / DEVICE_CEILING_LINES_S, 1)
-    out["cached"]["pct_of_ceiling"] = round(
-        100 * out["cached"]["sustained_lines_per_sec"]
-        / DEVICE_CEILING_LINES_S, 1)
+    if "cached" in out:
+        out["cached"]["pct_of_ceiling"] = round(
+            100 * out["cached"]["sustained_lines_per_sec"]
+            / DEVICE_CEILING_LINES_S, 1)
 
     res_path = os.path.join(REPO, "benchmarks", "results.json")
     try:
@@ -141,7 +161,10 @@ def main(argv=None) -> int:
             results = json.load(f)
     except (OSError, ValueError):
         results = {}
-    results["train_e2e_files_b128"] = out
+    # merge: partial runs (--skip_*) update only the legs they measured
+    prev = results.get("train_e2e_files_b128", {})
+    prev.update(out)
+    results["train_e2e_files_b128"] = prev
     with open(res_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(out, indent=1))

@@ -75,6 +75,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--early_stop_patience", type=int, default=0)
     p.add_argument("--exact_keras_loss", action="store_true")
+    p.add_argument(
+        "--steps_per_call", type=int, default=1,
+        help="K optimizer steps per device dispatch (lax.scan over K "
+             "same-bucket batches): amortizes per-dispatch host/tunnel "
+             "overhead that otherwise caps end-to-end throughput "
+             "(benchmarks/input_gap_profile.json). Device math is identical "
+             "to K single steps; with multiple buckets the batch ORDER is "
+             "regrouped by bucket (same batches). Logging/eval/checkpoints "
+             "land on the first step boundary crossing their cadence")
     # infra
     p.add_argument("--save_path", required=True)
     p.add_argument("--seed", type=int, default=0)
@@ -148,17 +157,11 @@ def main(argv=None) -> int:
             bucket = min(128, max(args.buckets))
         codec = synth.codec
 
-        def train_iter(skip=0):
-            return device_batches(
-                synthetic_batches(
-                    batch_size=args.batch_size, synth=synth, seed=args.seed,
-                    bucket=bucket, max_label_len=args.max_label_len,
-                    skip=skip,
-                ),
-                normalize=args.norm,
-                augment=args.augment,
-                augment_seed=args.seed,
-                augment_offset=skip,
+        def raw_train(skip=0):
+            return synthetic_batches(
+                batch_size=args.batch_size, synth=synth, seed=args.seed,
+                bucket=bucket, max_label_len=args.max_label_len,
+                skip=skip,
             )
 
         def eval_iter():
@@ -190,20 +193,29 @@ def main(argv=None) -> int:
         )
         codec = reader.codec
 
-        def train_iter(skip=0):
-            return device_batches(
-                reader.run_generator(train=True, skip=skip),
-                normalize=args.norm,
-                augment=args.augment,
-                augment_seed=args.seed,
-                augment_offset=skip,
-            )
+        def raw_train(skip=0):
+            return reader.run_generator(train=True, skip=skip)
 
         def eval_iter():
             return device_batches(
                 reader.run_generator(train=False, epochs=1),
                 normalize=args.norm,
             )
+
+    def train_iter(skip=0):
+        if args.steps_per_call > 1:
+            from crnn_ocr_tpu.data.pipeline import stack_host_batches
+
+            return stack_host_batches(
+                raw_train(skip), args.steps_per_call, index_offset=skip
+            )
+        return device_batches(
+            raw_train(skip),
+            normalize=args.norm,
+            augment=args.augment,
+            augment_seed=args.seed,
+            augment_offset=skip,
+        )
 
     n_dev = args.n_devices or len(jax.devices())
     from crnn_ocr_tpu.models import resolve_runtime_flags
@@ -316,6 +328,10 @@ def main(argv=None) -> int:
         tensorboard_dir=args.tensorboard_dir,
         profile_dir=args.profile_dir,
         on_device_cer=args.on_device_cer,
+        steps_per_call=args.steps_per_call,
+        normalize=args.norm,
+        augment=args.augment,
+        augment_seed=args.seed,
     )
     fit(
         state,

@@ -42,41 +42,23 @@ def device_batches(
     ``augment_offset``: global batch index of the first batch (resume
     support — keeps the augmentation key stream aligned with a fresh run).
     """
-    if augment:
-        import jax
-
-        from crnn_ocr_tpu.ops.augment import augment_batch
-
-        aug_key = jax.random.key(augment_seed)
     n_produced = int(augment_offset)
 
     def produce(b):
         nonlocal n_produced
-        bucket = int(b["bucket"])
-        x, w_new = preprocess_batch(
-            b["the_input"],
-            b["heights"],
-            b["widths"],
+        out = produce_batch(
+            b,
+            width_downsample=width_downsample,
+            ctc_time_slice=ctc_time_slice,
             out_h=out_h,
-            out_w=bucket,
             normalize=normalize,
+            augment=augment,
+            augment_seed=augment_seed,
+            index=n_produced,
         )
         if augment:
-            import jax
-
-            x = augment_batch(x, jax.random.fold_in(aug_key, n_produced))
             n_produced += 1
-        T = bucket // width_downsample
-        input_len = jnp.minimum(w_new // width_downsample, T) - ctc_time_slice
-        input_len = jnp.maximum(input_len, 1)
-        return {
-            "x": x,
-            "input_length": input_len.astype(jnp.int32),
-            "the_labels": jnp.asarray(b["the_labels"]),
-            "label_length": jnp.asarray(b["label_length"]),
-            "texts": b.get("texts"),
-            "bucket": bucket,
-        }
+        return out
 
     if prefetch <= 0:
         for b in host_iter:
@@ -100,6 +82,150 @@ def device_batches(
         if b is _END:
             return
         yield produce(b)
+
+
+def produce_batch(
+    b: Dict[str, np.ndarray],
+    width_downsample: int = 4,
+    ctc_time_slice: int = 2,
+    out_h: int = 32,
+    normalize: bool = True,
+    augment: bool = False,
+    augment_seed: int = 0,
+    index: int = 0,
+) -> Dict[str, jnp.ndarray]:
+    """One raw host batch -> device batch (fused preprocess + optional
+    augmentation). ``index`` is the batch's global produce index — the
+    augmentation key stream, kept stable under resume and under the
+    multi-step path's bucket regrouping."""
+    bucket = int(b["bucket"])
+    x, w_new = preprocess_batch(
+        b["the_input"],
+        b["heights"],
+        b["widths"],
+        out_h=out_h,
+        out_w=bucket,
+        normalize=normalize,
+    )
+    if augment:
+        import jax
+
+        from crnn_ocr_tpu.ops.augment import augment_batch
+
+        x = augment_batch(
+            x, jax.random.fold_in(jax.random.key(augment_seed), index)
+        )
+    T = bucket // width_downsample
+    input_len = jnp.minimum(w_new // width_downsample, T) - ctc_time_slice
+    input_len = jnp.maximum(input_len, 1)
+    return {
+        "x": x,
+        "input_length": input_len.astype(jnp.int32),
+        "the_labels": jnp.asarray(b["the_labels"]),
+        "label_length": jnp.asarray(b["label_length"]),
+        "texts": b.get("texts"),
+        "bucket": bucket,
+    }
+
+
+def stack_host_batches(
+    host_iter: Iterator[Dict[str, np.ndarray]],
+    n_inner: int,
+    prefetch: int = 2,
+    index_offset: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Group raw host batches into same-bucket stacks of ``n_inner`` for the
+    multi-step train path (``train.step.make_multi_train_step``).
+
+    Rationale: on hosts where per-dispatch latency or per-call overhead
+    dominates (this environment's TPU sits behind a ~30-50 ms tunnel), one
+    jitted ``lax.scan`` over K steps replaces K separate (upload, preprocess,
+    step) dispatch rounds with ONE upload and ONE dispatch — the device-side
+    math is identical (see the bit-parity test in tests/test_train_multi.py).
+
+    Stacked dicts carry ``stacked=n_inner`` plus arrays with a leading K
+    axis: ``the_input`` (K, B, Hq, Wq) uint8 — canvases padded (white) to the
+    group max and snapped up a quantization ladder so the set of compiled
+    multi-step programs stays bounded on native-size corpora — ``heights``/
+    ``widths``/``label_length`` (K, B), ``the_labels`` (K, B, L),
+    ``batch_index`` (K,) global produce indices (augmentation key stream),
+    and the common ``bucket``.
+
+    Batches are regrouped by bucket, so with multiple buckets the STEP ORDER
+    differs from the single-step stream (same batches, same count); with a
+    single bucket the stream is identical. Leftover groups at end of stream
+    (fewer than ``n_inner`` of a bucket) yield as plain single batches —
+    consumers fall back to the single-step path for those.
+    """
+    from crnn_ocr_tpu.ops.preprocess import quantize_dim
+
+    if n_inner <= 1:
+        yield from host_iter
+        return
+
+    def stacks():
+        pending: Dict[int, list] = {}
+        n_produced = int(index_offset)
+        for b in host_iter:
+            b = dict(b)
+            b["batch_index"] = n_produced
+            n_produced += 1
+            bucket = int(b["bucket"])
+            group = pending.setdefault(bucket, [])
+            group.append(b)
+            if len(group) == n_inner:
+                yield _stack_group(pending.pop(bucket), bucket, quantize_dim)
+        # end of a bounded stream: flush partial groups as plain raw
+        # batches (consumers produce them through the single-step path;
+        # batch_index stays attached for augment-key alignment)
+        for bucket in sorted(pending):
+            yield from pending[bucket]
+
+    if prefetch <= 0:
+        yield from stacks()
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    _END = object()
+
+    def worker():
+        try:
+            for s in stacks():
+                q.put(s)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        s = q.get()
+        if s is _END:
+            return
+        yield s
+
+
+def _stack_group(group, bucket: int, quantize_dim) -> Dict[str, np.ndarray]:
+    """Stack ``n_inner`` same-bucket host batches into one K-leading dict."""
+    hq = quantize_dim(max(int(b["the_input"].shape[1]) for b in group))
+    wq = quantize_dim(max(int(b["the_input"].shape[2]) for b in group))
+    K = len(group)
+    B = group[0]["the_input"].shape[0]
+    canvas = np.full((K, B, hq, wq), 255, np.uint8)
+    for k, b in enumerate(group):
+        _, h, w = b["the_input"].shape
+        canvas[k, :, :h, :w] = b["the_input"]
+    return {
+        "stacked": K,
+        "the_input": canvas,
+        "heights": np.stack([b["heights"] for b in group]),
+        "widths": np.stack([b["widths"] for b in group]),
+        "the_labels": np.stack([b["the_labels"] for b in group]),
+        "label_length": np.stack([b["label_length"] for b in group]),
+        "batch_index": np.array(
+            [b["batch_index"] for b in group], np.int32
+        ),
+        "bucket": bucket,
+        "texts": [b.get("texts") for b in group],
+    }
 
 
 def synthetic_batches(

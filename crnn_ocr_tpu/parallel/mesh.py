@@ -65,6 +65,25 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return out
 
 
+def shard_stacked_batch(stack: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a K-leading stacked batch group (``data.pipeline.
+    stack_host_batches``) on the mesh: the K (inner-step) axis is a scan
+    axis and stays replicated; the batch axis (axis 1) shards over 'data'
+    — the same layout the single-step DP path gives each scan slice.
+    1-D arrays (e.g. ``batch_index`` (K,)) replicate."""
+    sh2 = NamedSharding(mesh, P(None, "data"))
+    rep = replicated(mesh)
+    out = {}
+    for k, v in stack.items():
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 2:
+            out[k] = jax.device_put(v, sh2)
+        elif hasattr(v, "shape") and getattr(v, "ndim", 0) == 1:
+            out[k] = jax.device_put(v, rep)
+        else:
+            out[k] = v
+    return out
+
+
 def replicate_state(state: Any, mesh: Mesh) -> Any:
     """Replicate a train-state pytree across the mesh."""
     rep = replicated(mesh)

@@ -43,6 +43,15 @@ class FitConfig:
     profile_at: int = 5  # trace starts this many steps in (skip compiles)
     profile_steps: int = 20  # steps captured in the trace
     on_device_cer: bool = False  # batched Levenshtein DP on the accelerator
+    # K optimizer steps per device dispatch (train.step.make_multi_train_step):
+    # amortizes per-dispatch host/tunnel overhead — the measured e2e input
+    # gap (benchmarks/input_gap_profile.json). >1 changes the train_iter
+    # contract to RAW host batches via data.pipeline.stack_host_batches;
+    # device math is identical to K single steps (tests/test_train_multi.py).
+    steps_per_call: int = 1
+    normalize: bool = True  # multi-step path: preprocess normalization
+    augment: bool = False  # multi-step path: on-device augmentation
+    augment_seed: int = 0
 
 
 def fit(
@@ -55,6 +64,18 @@ def fit(
 ) -> TrainState:
     train_step = step_lib.make_train_step(
         model_cfg, exact_keras=cfg.exact_keras_loss, mesh=cfg.mesh
+    )
+    multi_step = (
+        step_lib.make_multi_train_step(
+            model_cfg,
+            exact_keras=cfg.exact_keras_loss,
+            mesh=cfg.mesh,
+            normalize=cfg.normalize,
+            augment=cfg.augment,
+            augment_seed=cfg.augment_seed,
+        )
+        if cfg.steps_per_call > 1
+        else None
     )
     eval_step = step_lib.make_eval_step(model_cfg)
     rng = jax.random.key(cfg.seed)
@@ -101,28 +122,71 @@ def fit(
                 if isinstance(v, (int, float)) and k != "step":
                     tb.add_scalar(f"{prefix}/{k}", v, step)
 
+    gstep = start_step
     for i, batch in enumerate(train_iter):
-        gstep = start_step + i + 1  # global step after this update
-        if gstep > cfg.steps:
-            break
-        texts = batch.pop("texts", None)
-        batch.pop("bucket", None)
-        n_lines = int(batch["x"].shape[0])
-        if cfg.mesh is not None:
-            from crnn_ocr_tpu.parallel import mesh as mesh_lib
-
-            n_dev = cfg.mesh.size
-            if n_lines % n_dev:
-                batch = mesh_lib.pad_batch_to(
-                    batch, -(-n_lines // n_dev) * n_dev
-                )
-            batch = mesh_lib.shard_batch(batch, cfg.mesh)
+        stacked_k = (
+            int(batch["stacked"])
+            if isinstance(batch, dict) and "stacked" in batch
+            else 0
+        )
+        k_steps = stacked_k or 1
+        if gstep + k_steps > cfg.steps:
+            break  # never overshoot the TOTAL budget (multi-step skips a
+            # final partial call; the single-step path drains exactly)
+        prev_gstep, gstep = gstep, gstep + k_steps
 
         if cfg.profile_dir and i == cfg.profile_at:
             profiler_ctx = xplane_trace(cfg.profile_dir)
             profiler_ctx.__enter__()
-        with timer:
-            state, m = train_step(state, batch, rng)
+
+        if stacked_k:
+            texts = batch.pop("texts", None)
+            bucket = int(batch.pop("bucket"))
+            batch.pop("stacked")
+            n_lines = k_steps * int(batch["the_labels"].shape[1])
+            if cfg.mesh is not None:
+                from crnn_ocr_tpu.parallel import mesh as mesh_lib
+
+                B = int(batch["the_labels"].shape[1])
+                if B % cfg.mesh.size:
+                    raise ValueError(
+                        f"steps_per_call > 1 under a mesh needs batch_size "
+                        f"divisible by the mesh ({B} % {cfg.mesh.size}); "
+                        f"use steps_per_call=1 for ragged DP batches"
+                    )
+                batch = mesh_lib.shard_stacked_batch(batch, cfg.mesh)
+            with timer:
+                state, ms = multi_step(state, batch, rng, bucket=bucket)
+            m = {k: v[-1] for k, v in ms.items()}  # last inner step's
+        else:
+            if multi_step is not None and "x" not in batch:
+                # partial group flushed by stack_host_batches (bounded
+                # streams only): produce + single-step it
+                from crnn_ocr_tpu.data.pipeline import produce_batch
+
+                batch = produce_batch(
+                    batch,
+                    normalize=cfg.normalize,
+                    augment=cfg.augment,
+                    augment_seed=cfg.augment_seed,
+                    index=int(batch.pop("batch_index", 0)),
+                    ctc_time_slice=model_cfg.ctc_time_slice,
+                    out_h=model_cfg.height,
+                )
+            texts = batch.pop("texts", None)
+            batch.pop("bucket", None)
+            n_lines = int(batch["x"].shape[0])
+            if cfg.mesh is not None:
+                from crnn_ocr_tpu.parallel import mesh as mesh_lib
+
+                n_dev = cfg.mesh.size
+                if n_lines % n_dev:
+                    batch = mesh_lib.pad_batch_to(
+                        batch, -(-n_lines // n_dev) * n_dev
+                    )
+                batch = mesh_lib.shard_batch(batch, cfg.mesh)
+            with timer:
+                state, m = train_step(state, batch, rng)
         if profiler_ctx is not None and i == cfg.profile_at + cfg.profile_steps:
             float(m["loss"])  # materialize: flush device work into the trace
             profiler_ctx.__exit__(None, None, None)
@@ -131,7 +195,7 @@ def fit(
                   file=sys.stderr)
         lines_seen += n_lines
 
-        if gstep % cfg.log_every == 0 or i == 0:
+        if (gstep // cfg.log_every) > (prev_gstep // cfg.log_every) or i == 0:
             loss = float(m["loss"])
             ema_loss = loss if ema_loss is None else 0.9 * ema_loss + 0.1 * loss
             dt = time.time() - t_start
@@ -151,7 +215,9 @@ def fit(
             )
             log({"kind": "train", **rec})
 
-        if eval_iter_fn and gstep % cfg.eval_every == 0:
+        if eval_iter_fn and (
+            (gstep // cfg.eval_every) > (prev_gstep // cfg.eval_every)
+        ):
             ev = evaluate(
                 state, eval_step, eval_iter_fn(), codec, cfg.eval_batches,
                 mesh=cfg.mesh, on_device_cer=cfg.on_device_cer,

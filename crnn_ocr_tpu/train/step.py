@@ -176,6 +176,22 @@ def make_train_step(
     """
     if use_pallas_ctc is None:
         use_pallas_ctc = jax.default_backend() in ("tpu", "axon")
+    train_step = _train_step_fn(
+        model_cfg, exact_keras, use_pallas_ctc, mesh, pallas_interpret
+    )
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def _train_step_fn(
+    model_cfg: ModelConfig,
+    exact_keras: bool,
+    use_pallas_ctc: bool,
+    mesh,
+    pallas_interpret: bool,
+):
+    """The unjitted train-step body — shared by the single-step jit
+    (:func:`make_train_step`) and the K-step scan
+    (:func:`make_multi_train_step`)."""
 
     def train_step(
         state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
@@ -225,7 +241,104 @@ def make_train_step(
         gnorm = optax_global_norm(grads)
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
+
+
+def make_multi_train_step(
+    model_cfg: ModelConfig,
+    exact_keras: bool = False,
+    donate: bool = True,
+    use_pallas_ctc: "bool | None" = None,
+    mesh=None,
+    pallas_interpret: bool = False,
+    width_downsample: int = 4,
+    normalize: bool = True,
+    augment: bool = False,
+    augment_seed: int = 0,
+):
+    """Returns jitted ``multi_step(state, stack, rng, bucket=W) ->
+    (state, metrics)`` running K optimizer steps in ONE device dispatch.
+
+    ``stack`` is a K-leading raw batch group from
+    ``data.pipeline.stack_host_batches``: the fused preprocess (resize/pad/
+    normalize, + optional augmentation) AND the train step both run inside a
+    single ``lax.scan``, so K steps cost one host->device upload and one
+    dispatch instead of 3K. The device math is identical to K sequential
+    :func:`make_train_step` calls — the per-step dropout stream folds the
+    same ``rng`` with ``state.step``, which increments inside the scan
+    (bit-parity pinned by tests/test_train_multi.py).
+
+    Why: on hosts where per-dispatch latency dominates (this environment's
+    TPU tunnel has ~30-50 ms RTT; any 1-core host pays ~ms of Python per
+    dispatch), the single-step path caps end-to-end training throughput far
+    below the device ceiling. Measured attribution in
+    benchmarks/input_gap_profile.json.
+
+    Metrics are stacked per inner step: ``{"loss": (K,), "grad_norm": (K,)}``.
+
+    Under a ``mesh``, shard the stack with
+    ``parallel.mesh.shard_stacked_batch`` (batch axis 1 over 'data'); the
+    scan body's per-step batches then carry the same sharding the
+    single-step DP path uses.
+    """
+    if use_pallas_ctc is None:
+        use_pallas_ctc = jax.default_backend() in ("tpu", "axon")
+    core = _train_step_fn(
+        model_cfg, exact_keras, use_pallas_ctc, mesh, pallas_interpret
+    )
+    from crnn_ocr_tpu.ops.preprocess import preprocess_batch
+
+    if augment:
+        from crnn_ocr_tpu.ops.augment import augment_batch
+
+    def multi_step(
+        state: TrainState,
+        stack: Dict[str, jnp.ndarray],
+        rng: jax.Array,
+        bucket: int,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        T = bucket // width_downsample
+
+        def body(st, sl):
+            x, w_new = preprocess_batch(
+                sl["the_input"],
+                sl["heights"],
+                sl["widths"],
+                out_h=model_cfg.height,
+                out_w=bucket,
+                normalize=normalize,
+            )
+            if augment:
+                x = augment_batch(
+                    x,
+                    jax.random.fold_in(
+                        jax.random.key(augment_seed), sl["batch_index"]
+                    ),
+                )
+            il = jnp.minimum(w_new // width_downsample, T)
+            il = jnp.maximum(il - model_cfg.ctc_time_slice, 1)
+            batch = {
+                "x": x,
+                "input_length": il.astype(jnp.int32),
+                "the_labels": sl["the_labels"],
+                "label_length": sl["label_length"],
+            }
+            return core(st, batch, rng)
+
+        xs = {
+            k: stack[k]
+            for k in (
+                "the_input", "heights", "widths",
+                "the_labels", "label_length", "batch_index",
+            )
+        }
+        return jax.lax.scan(body, state, xs)
+
+    return jax.jit(
+        multi_step,
+        static_argnames=("bucket",),
+        donate_argnums=(0,) if donate else (),
+    )
 
 
 def optax_global_norm(tree: Any) -> jnp.ndarray:
