@@ -41,7 +41,8 @@ DEVICE_CEILING_LINES_S = 36_400.0
 
 
 def run_train(path: str, save: str, steps: int, pack: bool,
-              log_every: int = 25, steps_per_call: int = 1) -> dict:
+              log_every: int = 25, steps_per_call: int = 1,
+              device_cache: bool = False) -> dict:
     cmd = [
         sys.executable, "-m", "crnn_ocr_tpu.cli.train",
         "--path", path, "--buckets", "128", "--batch_size", "128",
@@ -52,6 +53,8 @@ def run_train(path: str, save: str, steps: int, pack: bool,
         cmd.append("--pack_cache")
     if steps_per_call > 1:
         cmd += ["--steps_per_call", str(steps_per_call)]
+    if device_cache:
+        cmd.append("--device_cache")
     t0 = time.time()
     subprocess.run(cmd, check=True, cwd=REPO)
     wall_total = time.time() - t0
@@ -87,6 +90,7 @@ def main(argv=None) -> int:
     p.add_argument("--skip_uncached", action="store_true")
     p.add_argument("--skip_cached_single", action="store_true")
     p.add_argument("--steps_per_call", type=int, nargs="*", default=[16])
+    p.add_argument("--device_cache_k", type=int, nargs="*", default=[16])
     args = p.parse_args(argv)
 
     pack_dir = os.path.join(args.path, ".crnn_pack")
@@ -143,6 +147,21 @@ def main(argv=None) -> int:
             )
             out[f"cached_k{K}"]["pct_of_ceiling"] = round(
                 100 * out[f"cached_k{K}"]["sustained_lines_per_sec"]
+                / DEVICE_CEILING_LINES_S, 1)
+
+        for K in args.device_cache_k:
+            # HBM-resident corpus (data/device_cache.py): zero pixel stream,
+            # (K,B) row indices are the only per-call upload
+            print(f"[e2e] DEVICE-CACHE steps_per_call={K} run...",
+                  file=sys.stderr)
+            key = f"cached_dev_k{K}"
+            out[key] = run_train(
+                args.path, os.path.join(td, f"dev_k{K}"), args.steps,
+                pack=True, steps_per_call=K, device_cache=True,
+                log_every=max(25, K),
+            )
+            out[key]["pct_of_ceiling"] = round(
+                100 * out[key]["sustained_lines_per_sec"]
                 / DEVICE_CEILING_LINES_S, 1)
 
     out["device_ceiling_lines_per_sec"] = DEVICE_CEILING_LINES_S

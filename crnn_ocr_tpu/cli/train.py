@@ -46,6 +46,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "shards under <path>/.crnn_pack/, then feed every "
                         "epoch decode-free (data/packed.py — removes the "
                         "host PNG-decode bottleneck, SURVEY.md §3.5)")
+    p.add_argument("--device_cache", action="store_true",
+                   help="files dataset: upload the packed corpus to HBM "
+                        "once and feed train steps (K,B) row-index arrays "
+                        "instead of pixels — removes the host->device pixel "
+                        "stream entirely (data/device_cache.py; implies "
+                        "--pack_cache; combine with --steps_per_call). "
+                        "Batch stream is identical to the host path")
+    p.add_argument("--device_cache_max_gb", type=float, default=8.0,
+                   help="refuse --device_cache above this HBM budget "
+                        "(streaming --pack_cache handles bigger corpora)")
     # model
     p.add_argument("--n_units", type=int, default=256)
     p.add_argument("--time_dense_size", type=int, default=128)
@@ -146,6 +156,11 @@ def main(argv=None) -> int:
         # to ONE input width. Train it at a single bucket; ModelConfig.width
         # is pinned to it below.
         args.buckets = [max(args.buckets)]
+    if args.device_cache and args.dataset != "files":
+        print("--device_cache requires --dataset files", file=sys.stderr)
+        return 2
+    if args.device_cache:
+        args.pack_cache = True  # the packed shards ARE the device tables
     if args.dataset in ("synthetic", "fonts"):
         if args.dataset == "fonts":
             from crnn_ocr_tpu.data import FontTextlines
@@ -202,7 +217,13 @@ def main(argv=None) -> int:
                 normalize=args.norm,
             )
 
+    device_corpus = None  # set below (needs the mesh) when --device_cache
+
     def train_iter(skip=0):
+        if device_corpus is not None:
+            return device_corpus.stacked_index_batches(
+                max(1, args.steps_per_call), skip=skip
+            )
         if args.steps_per_call > 1:
             from crnn_ocr_tpu.data.pipeline import stack_host_batches
 
@@ -280,6 +301,20 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(n_dev)
         print(f"data-parallel mesh: {mesh}", file=sys.stderr)
+    if args.device_cache:
+        from crnn_ocr_tpu.data.device_cache import DeviceResidentCorpus
+
+        device_corpus = DeviceResidentCorpus(
+            reader,
+            max_bytes=int(args.device_cache_max_gb * (1 << 30)),
+            mesh=mesh,
+        )
+        print(
+            f"[crnn_ocr_tpu] device cache: "
+            f"{device_corpus.total_bytes / 1e6:.1f} MB resident in HBM "
+            f"({len(reader.samples)} images)",
+            file=sys.stderr,
+        )
     state = create_train_state(
         cfg, jax.random.key(args.seed), optimizer=args.opt,
         learning_rate=args.lr, batch_size=args.batch_size,
@@ -332,6 +367,7 @@ def main(argv=None) -> int:
         normalize=args.norm,
         augment=args.augment,
         augment_seed=args.seed,
+        device_corpus=device_corpus,
     )
     fit(
         state,

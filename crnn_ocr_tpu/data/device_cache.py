@@ -1,0 +1,205 @@
+"""Device-resident packed corpus: pixels live in HBM, batches are indices.
+
+The endgame of the input-pipeline ladder (SURVEY.md §3.5, reference
+``utils.py#Readf`` — its per-epoch host decode was the reference's measured
+bottleneck):
+
+  uncached         cv2-decode every image every epoch        393 lines/s
+  --pack_cache     decode ONCE into mmap shards (packed.py)  5,604 lines/s
+  --steps_per_call K steps per dispatch (train/step.py)      7,477 lines/s
+  --device_cache   pixels resident in HBM, THIS module       (streamed pixels
+                                                              removed entirely)
+
+Measured motivation (benchmarks/input_gap_profile.json + DESIGN.md "input
+gap"): on this environment the host->device pixel stream itself caps
+training — ~15-20 MB/s effective wire rate and ~16 ms fixed cost per
+dispatch — while a B=128/W=128 uint8 batch is 512 KB/step. A 10k-image
+packed corpus is only ~41 MB: it fits HBM thousands of times over. So:
+upload each bucket's packed shard ONCE, plus row-ordered label/width
+tables, and feed every train step a (K, B) int32 ROW-INDEX array (~0.5 KB)
+instead of pixels. Batch assembly becomes an on-device gather fused into
+the same jitted scan as the preprocess and the optimizer step
+(``train.step.make_cached_multi_train_step``).
+
+The batch STREAM (sample order, bucketing, shuffling, resume replay,
+augmentation key indices) is byte-identical to the ``--pack_cache`` host
+path: planning reuses ``Reader._epoch_batches`` with the same seeded rng,
+and the gathered rows are the same packed rows the host path would memcpy
+(tests/test_device_cache.py pins loss/param parity).
+
+Memory: refuses corpora above ``max_bytes`` (default 8 GiB — half a v5e
+chip's HBM) with a clear message; fall back to ``--pack_cache`` streaming
+for bigger-than-HBM corpora. Under a DP mesh the tables are replicated per
+device (a row-sharded + collective-gather layout is unnecessary at the
+corpus sizes this model family trains on).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class DeviceResidentCorpus:
+    """Uploads a fully packed corpus to the accelerator(s) once.
+
+    Per populated bucket ``W``:
+      pixels  (N, height, W) uint8 — the packed shard, row order
+      widths  (N,) int32 — content widths (white pad beyond)
+      labels  (N, max_label_len) int32 — row-ordered encoded texts
+      lab_len (N,) int32
+    """
+
+    def __init__(self, reader, max_bytes: int = 8 << 30, mesh=None):
+        if reader._pack is None:
+            raise ValueError(
+                "device_cache requires pack_cache=True on the Reader "
+                "(the packed shards ARE the device tables)"
+            )
+        self.reader = reader
+        self.mesh = mesh
+        pack = reader._pack
+        # ensure every sample is packed (first call on a cold corpus decodes
+        # each image once — the same one-time cost --pack_cache already pays)
+        for path, _ in reader.samples:
+            reader._load_image(path)
+        pack.flush_index()
+
+        height = reader.cfg.height
+        L = reader.cfg.max_label_len
+        total = sum(
+            n * (height * b + 4 * L + 8)
+            for b, n in pack.counts.items() if n
+        )
+        if total > max_bytes:
+            raise ValueError(
+                f"device_cache: corpus needs ~{total / 1e9:.2f} GB of HBM "
+                f"(> max_bytes {max_bytes / 1e9:.2f} GB). Use the "
+                f"--pack_cache streaming path for bigger-than-HBM corpora, "
+                f"or raise the cap if the chip has room"
+            )
+        self.total_bytes = total
+
+        # row-ordered label tables (entries: relpath -> (bucket, row, w_new))
+        texts_by_rowkey: Dict[int, Dict[int, str]] = {}
+        for i, (path, text) in enumerate(reader.samples):
+            b, row, _ = pack.entries[reader._size_key(i)]
+            prev = texts_by_rowkey.setdefault(b, {}).setdefault(row, text)
+            if prev != text:
+                # two samples share one image file with DIFFERENT texts —
+                # the row-ordered label table can hold only one; the host
+                # streaming path handles this fine, so route there
+                raise ValueError(
+                    f"device_cache: image {reader._size_key(i)!r} appears "
+                    f"with conflicting transcriptions ({prev!r} vs "
+                    f"{text!r}); use the --pack_cache streaming path for "
+                    f"corpora with duplicate image entries"
+                )
+
+        import jax
+
+        sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(mesh, P())  # replicated tables
+
+        def put(a):
+            return (
+                jax.device_put(a, sharding) if sharding is not None
+                else jax.device_put(a)
+            )
+
+        self._arrays: Dict[int, Dict[str, object]] = {}
+        for b, n in sorted(pack.counts.items()):
+            if not n:
+                continue
+            mm = np.memmap(
+                pack._shard_path(b), dtype=np.uint8, mode="r",
+                shape=(n, height, b),
+            )
+            widths = np.ones((n,), np.int32)
+            texts = [""] * n
+            rows_seen = texts_by_rowkey.get(b, {})
+            for rel, (bb, row, w_new) in pack.entries.items():
+                if bb == b:
+                    widths[row] = w_new
+            for row, t in rows_seen.items():
+                texts[row] = t
+            labels, lab_len = reader.codec.encode_batch(texts, L)
+            self._arrays[b] = {
+                "pixels": put(np.asarray(mm)),
+                "widths": put(widths),
+                "labels": put(labels.astype(np.int32)),
+                "lab_len": put(lab_len.astype(np.int32)),
+            }
+        # sample index -> (bucket, row) for batch planning
+        self._row_of = np.zeros((len(reader.samples),), np.int32)
+        self._bucket_of = np.zeros((len(reader.samples),), np.int32)
+        for i in range(len(reader.samples)):
+            b, row, _ = pack.entries[reader._size_key(i)]
+            self._row_of[i] = row
+            self._bucket_of[i] = b
+
+    def arrays(self, bucket: int) -> Dict[str, object]:
+        return self._arrays[int(bucket)]
+
+    # ---- batch planning (stream-identical to Reader.run_generator) ----
+
+    def index_batches(
+        self, train: bool = True, epochs: Optional[int] = None,
+        skip: int = 0,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yields ``{"bucket", "rows" (B,) int32}`` in EXACTLY the order the
+        host path would yield pixel batches (same seeded rng, same epoch
+        planner), without touching pixel data."""
+        r = self.reader
+        cfg = r.cfg
+        rng = np.random.default_rng(cfg.shuffle_seed + (1 if train else 2))
+        idx = r._train_idx if train else r._val_idx
+        epoch = 0
+        to_skip = int(skip)
+        while epochs is None or epoch < epochs:
+            for chunk in r._epoch_batches(idx, rng, train):
+                if to_skip > 0:
+                    to_skip -= 1
+                    continue
+                yield {
+                    "bucket": int(self._bucket_of[chunk[0]]),
+                    "rows": self._row_of[np.asarray(chunk, np.int64)],
+                }
+            epoch += 1
+
+    def stacked_index_batches(
+        self, n_inner: int, train: bool = True,
+        epochs: Optional[int] = None, skip: int = 0,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Groups index batches into same-bucket (K, B) stacks for
+        ``train.step.make_cached_multi_train_step`` — the device-cache
+        analogue of ``pipeline.stack_host_batches`` (same regrouping rule,
+        same global batch_index stream for augmentation keys). Bounded
+        streams flush partial groups as smaller stacks (one extra compile
+        per distinct K)."""
+        pending: Dict[int, list] = {}
+        n_produced = int(skip)
+
+        def emit(bucket, group):
+            return {
+                "device_cached": True,
+                "stacked": len(group),
+                "bucket": bucket,
+                "rows": np.stack([g[0] for g in group]),
+                "batch_index": np.array([g[1] for g in group], np.int32),
+            }
+
+        for b in self.index_batches(train=train, epochs=epochs, skip=skip):
+            bucket = b["bucket"]
+            group = pending.setdefault(bucket, [])
+            group.append((b["rows"], n_produced))
+            n_produced += 1
+            if len(group) == n_inner:
+                yield emit(bucket, pending.pop(bucket))
+        for bucket in sorted(pending):
+            if pending[bucket]:
+                yield emit(bucket, pending[bucket])

@@ -96,6 +96,30 @@ def preprocess_batch(
     return x, w_news.astype(jnp.int32)
 
 
+def preprocess_resident(
+    images: jnp.ndarray,
+    widths: jnp.ndarray,
+    normalize: bool = True,
+):
+    """Fast path of :func:`preprocess_batch` for DEVICE-RESIDENT packed rows
+    (data/device_cache.py): the stored rows are already height-normalized to
+    ``out_h`` and white-padded to the bucket, so the general
+    scale-and-translate is an identity — skip it and keep only /255 +
+    per-image standardization. Output matches
+    ``preprocess_batch(rows, heights=out_h, widths, out_h, out_w=bucket)``
+    to a few ulps (the identity resample still rounds at f32: max |Δ|
+    6e-8 raw, 4.8e-7 after standardization;
+    pinned by tests/test_preprocess.py::test_preprocess_resident_parity).
+
+    Returns (x, content_widths) like preprocess_batch."""
+    x = images.astype(jnp.float32) / 255.0
+    if normalize:
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        std = jnp.std(x, axis=(1, 2), keepdims=True)
+        x = (x - mean) / (std + NORM_EPSILON)
+    return x, widths.astype(jnp.int32)
+
+
 def preprocess_host(
     img: np.ndarray,
     out_h: int = 32,

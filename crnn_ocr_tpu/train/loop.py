@@ -52,6 +52,10 @@ class FitConfig:
     normalize: bool = True  # multi-step path: preprocess normalization
     augment: bool = False  # multi-step path: on-device augmentation
     augment_seed: int = 0
+    # Device-resident corpus (data.device_cache.DeviceResidentCorpus):
+    # train_iter then yields (K, B) row-index stacks and the step gathers
+    # pixels from HBM — no per-step pixel upload at all.
+    device_corpus: object = None
 
 
 def fit(
@@ -75,6 +79,18 @@ def fit(
             augment_seed=cfg.augment_seed,
         )
         if cfg.steps_per_call > 1
+        else None
+    )
+    cached_step = (
+        step_lib.make_cached_multi_train_step(
+            model_cfg,
+            exact_keras=cfg.exact_keras_loss,
+            mesh=cfg.mesh,
+            normalize=cfg.normalize,
+            augment=cfg.augment,
+            augment_seed=cfg.augment_seed,
+        )
+        if cfg.device_corpus is not None
         else None
     )
     eval_step = step_lib.make_eval_step(model_cfg)
@@ -139,7 +155,22 @@ def fit(
             profiler_ctx = xplane_trace(cfg.profile_dir)
             profiler_ctx.__enter__()
 
-        if stacked_k:
+        if stacked_k and batch.get("device_cached"):
+            texts = None
+            bucket = int(batch["bucket"])
+            rows = batch["rows"]  # (K, B) int32 — the only per-call bytes
+            n_lines = int(rows.shape[0]) * int(rows.shape[1])
+            arrs = cfg.device_corpus.arrays(bucket)
+            with timer:
+                state, ms = cached_step(
+                    state,
+                    arrs["pixels"], arrs["widths"],
+                    arrs["labels"], arrs["lab_len"],
+                    rows, batch["batch_index"], rng,
+                    bucket=bucket,
+                )
+            m = {k: v[-1] for k, v in ms.items()}  # last inner step's
+        elif stacked_k:
             texts = batch.pop("texts", None)
             bucket = int(batch.pop("bucket"))
             batch.pop("stacked")

@@ -1,0 +1,182 @@
+"""Device-resident corpus (data/device_cache.py): HBM-resident pixels,
+index-only batches. Pins (1) batch-stream identity with the --pack_cache
+host path, (2) train parity — same losses/params as the streamed pixel
+path, (3) the HBM budget guard."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from crnn_ocr_tpu.data import Reader, ReaderConfig
+from crnn_ocr_tpu.data.device_cache import DeviceResidentCorpus
+from crnn_ocr_tpu.data.pipeline import device_batches
+from crnn_ocr_tpu.models import ModelConfig
+from crnn_ocr_tpu.train import create_train_state
+from crnn_ocr_tpu.train.step import (
+    make_cached_multi_train_step,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    from crnn_ocr_tpu.data import SyntheticConfig, SyntheticTextlines
+
+    synth = SyntheticTextlines(
+        SyntheticConfig(alphabet="0123456789", min_len=2, max_len=4)
+    )
+    rng = np.random.default_rng(5)
+    d = tmp_path_factory.mktemp("dcache") / "imgs"
+    d.mkdir()
+    lines = []
+    for i in range(24):
+        images, texts = synth.sample_batch(1, rng)
+        name = f"img_{i}.png"
+        cv2.imwrite(str(d / name), images[0])
+        lines.append(f"{name}\t{texts[0]}")
+    (d / "annotation.txt").write_text("\n".join(lines))
+    return str(d)
+
+
+def _reader(corpus_dir, **kw):
+    return Reader(ReaderConfig(
+        path=corpus_dir, batch_size=4, val_fraction=0.0, buckets=(64, 128),
+        max_label_len=8, pack_cache=True, **kw,
+    ))
+
+
+def test_index_stream_matches_host_batch_stream(corpus_dir):
+    """Planning reuses Reader._epoch_batches with the same seeded rng, so
+    the (bucket, labels, widths) sequence is identical to the host path —
+    and the gathered pixel rows ARE the rows the host path memcpys."""
+    r = _reader(corpus_dir)
+    corpus = DeviceResidentCorpus(r)
+    host = _reader(corpus_dir)  # fresh reader: independent rng state
+
+    idx_iter = corpus.index_batches(train=True, epochs=1)
+    host_iter = host.run_generator(train=True, epochs=1)
+    n = 0
+    for ib, hb in zip(idx_iter, host_iter):
+        n += 1
+        assert ib["bucket"] == int(hb["bucket"])
+        arrs = corpus.arrays(ib["bucket"])
+        lab = np.asarray(arrs["labels"])[ib["rows"]]
+        ll = np.asarray(arrs["lab_len"])[ib["rows"]]
+        np.testing.assert_array_equal(lab, hb["the_labels"])
+        np.testing.assert_array_equal(ll, hb["label_length"])
+        w = np.asarray(arrs["widths"])[ib["rows"]]
+        np.testing.assert_array_equal(w, hb["widths"])  # stored w_new
+        px = np.asarray(arrs["pixels"])[ib["rows"]]  # (B, 32, W)
+        # host canvas is packed to the batch max width; stored rows are
+        # white-padded to the bucket — content must agree exactly
+        hw = hb["the_input"].shape[2]
+        np.testing.assert_array_equal(px[:, :, :hw], hb["the_input"])
+        assert (px[:, :, hw:] == 255).all()
+    assert n == 6  # 24 imgs / B=4 (both buckets)
+
+
+def test_cached_step_matches_streamed_pixel_path(corpus_dir):
+    """3 train steps fed from HBM row-index gathers == 3 steps fed streamed
+    pixels (same batches, same math): losses and params agree."""
+    r = _reader(corpus_dir)
+    corpus = DeviceResidentCorpus(r)
+    cfg = ModelConfig(
+        num_classes=r.codec.num_classes,
+        width=128,
+        stem_filters=8,
+        block_filters=(12, 16, 16, 24),
+        time_dense_size=16,
+        n_units=16,
+        rnn_layers=1,
+        dropout_rate=0.1,
+    )
+    rng = jax.random.key(11)
+    K = 3
+
+    # streamed reference (fresh reader: same seeded planner)
+    host = _reader(corpus_dir)
+    state_a = create_train_state(cfg, jax.random.key(0), batch_size=4)
+    single = make_train_step(cfg, donate=False)
+    losses_a = []
+    hb_iter = device_batches(
+        host.run_generator(train=True, epochs=1), prefetch=0
+    )
+    taken = []
+    for db in hb_iter:
+        if len(taken) == K:
+            break
+        taken.append(db)
+    # device-cache path consumes the same stream; keep only same-bucket
+    # stacks comparable: take the first K batches regardless of bucket and
+    # run them one stack each (K=1 scans) so order matches exactly
+    cached = make_cached_multi_train_step(cfg, donate=False)
+    state_b = create_train_state(cfg, jax.random.key(0), batch_size=4)
+    ib_iter = corpus.index_batches(train=True, epochs=1)
+    for j, (db, ib) in enumerate(zip(taken, ib_iter)):
+        db.pop("texts"), db.pop("bucket")
+        state_a, m = single(state_a, db, rng)
+        losses_a.append(float(m["loss"]))
+        arrs = corpus.arrays(ib["bucket"])
+        state_b, ms = cached(
+            state_b,
+            arrs["pixels"], arrs["widths"], arrs["labels"], arrs["lab_len"],
+            ib["rows"][None, :], np.array([j], np.int32), rng,
+            bucket=ib["bucket"],
+        )
+        np.testing.assert_allclose(
+            float(ms["loss"][0]), losses_a[-1], rtol=1e-5, atol=1e-6,
+            err_msg=f"batch {j}",
+        )
+    assert int(state_a.step) == K == int(state_b.step)
+    for a, b in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6
+        )
+
+
+def test_stacked_index_batches_shape_and_indices(corpus_dir):
+    r = _reader(corpus_dir)
+    corpus = DeviceResidentCorpus(r)
+    items = list(corpus.stacked_index_batches(2, train=True, epochs=1))
+    assert all(it["device_cached"] for it in items)
+    ks = [it["stacked"] for it in items]
+    assert sum(ks) == 6  # all 6 batches covered, grouped or flushed
+    idx = sorted(int(i) for it in items for i in it["batch_index"])
+    assert idx == list(range(6))
+    for it in items:
+        assert it["rows"].shape == (it["stacked"], 4)
+
+
+def test_hbm_budget_guard(corpus_dir):
+    r = _reader(corpus_dir)
+    with pytest.raises(ValueError, match="HBM"):
+        DeviceResidentCorpus(r, max_bytes=1024)
+
+
+def test_requires_pack_cache(corpus_dir):
+    r = Reader(ReaderConfig(
+        path=corpus_dir, batch_size=4, val_fraction=0.0, buckets=(64, 128),
+        pack_cache=False,
+    ))
+    with pytest.raises(ValueError, match="pack_cache"):
+        DeviceResidentCorpus(r)
+
+
+def test_conflicting_duplicate_transcriptions_rejected(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    d = tmp_path / "dup"
+    d.mkdir()
+    img = np.random.default_rng(0).integers(0, 255, (32, 40)).astype(np.uint8)
+    cv2.imwrite(str(d / "a.png"), img)
+    (d / "annotation.txt").write_text("a.png\t12\na.png\t34")
+    r = Reader(ReaderConfig(
+        path=str(d), batch_size=1, val_fraction=0.0, buckets=(64,),
+        pack_cache=True,
+    ))
+    with pytest.raises(ValueError, match="conflicting"):
+        DeviceResidentCorpus(r)

@@ -133,3 +133,29 @@ def test_pack_canvas_quantize_is_numerically_inert():
     np.testing.assert_allclose(
         np.asarray(x1), np.asarray(x2), rtol=0, atol=1e-6
     )
+
+
+def test_preprocess_resident_parity():
+    """The device-cache fast path (no identity resize) must reproduce
+    preprocess_batch on packed-row input (rows already at out_h with white
+    pad beyond each content width) to 1 ulp — the skipped identity
+    resample rounds at f32 (measured max |Δ| 6e-8 raw, 4.8e-7
+    after per-image standardization amplifies through the std divide)."""
+    rng = np.random.default_rng(9)
+    B, H, W = 6, 32, 128
+    widths = rng.integers(10, W + 1, (B,)).astype(np.int32)
+    rows = np.full((B, H, W), 255, np.uint8)
+    for i, w in enumerate(widths):
+        rows[i, :, :w] = rng.integers(0, 255, (H, w))
+    for normalize in (True, False):
+        x_ref, wn_ref = preprocess.preprocess_batch(
+            rows, np.full((B,), H, np.int32), widths,
+            out_h=H, out_w=W, normalize=normalize,
+        )
+        x_fast, wn_fast = preprocess.preprocess_resident(
+            rows, widths, normalize=normalize
+        )
+        np.testing.assert_array_equal(np.asarray(wn_ref), np.asarray(wn_fast))
+        np.testing.assert_allclose(
+            np.asarray(x_ref), np.asarray(x_fast), rtol=0, atol=1e-6
+        )
