@@ -10,11 +10,25 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import os
 from typing import Any, Optional, Tuple
 
 import jax
 import orbax.checkpoint as ocp
+
+
+class _DropMetriclessSaveNoise(logging.Filter):
+    """Metric-less saves (the final latest-state save of every run) are an
+    intended mode here — ``keep_checkpoints_without_metrics=True`` — but
+    orbax still logs 'Requested `tracked_metric`; did not provide metrics'
+    at WARNING on each one. Drop exactly that message."""
+
+    def filter(self, rec: logging.LogRecord) -> bool:
+        return "did not provide metrics" not in rec.getMessage()
+
+
+logging.getLogger("absl").addFilter(_DropMetriclessSaveNoise())
 
 from crnn_ocr_tpu.data.codec import LabelCodec
 from crnn_ocr_tpu.models import ModelConfig

@@ -138,6 +138,30 @@ def fit(
                 if isinstance(v, (int, float)) and k != "step":
                     tb.add_scalar(f"{prefix}/{k}", v, step)
 
+    pending_logs: list = []
+
+    def emit_log(entry):
+        nonlocal ema_loss
+        e_step, e_lines, e_dt, e_m, e_timer = entry
+        loss = float(e_m["loss"])
+        ema_loss = loss if ema_loss is None else 0.9 * ema_loss + 0.1 * loss
+        rec = {
+            "step": e_step,
+            "loss": loss,
+            "ema_loss": ema_loss,
+            "grad_norm": float(e_m["grad_norm"]),
+            "lines_per_sec": e_lines / e_dt,
+            "wall": e_dt,
+            **{f"host_step_{k}": v for k, v in e_timer.items()},
+        }
+        print(
+            f"step {e_step:6d} loss {loss:9.4f} ema {ema_loss:9.4f} "
+            f"gnorm {rec['grad_norm']:8.3f} "
+            f"{rec['lines_per_sec']:8.1f} lines/s",
+            file=sys.stderr,
+        )
+        log({"kind": "train", **rec})
+
     gstep = start_step
     for i, batch in enumerate(train_iter):
         stacked_k = (
@@ -227,28 +251,26 @@ def fit(
         lines_seen += n_lines
 
         if (gstep // cfg.log_every) > (prev_gstep // cfg.log_every) or i == 0:
-            loss = float(m["loss"])
-            ema_loss = loss if ema_loss is None else 0.9 * ema_loss + 0.1 * loss
-            dt = time.time() - t_start
-            rec = {
-                "step": gstep,
-                "loss": loss,
-                "ema_loss": ema_loss,
-                "grad_norm": float(m["grad_norm"]),
-                "lines_per_sec": lines_seen / dt,
-                "wall": dt,
-                **{f"host_step_{k}": v for k, v in timer.stats().items()},
-            }
-            print(
-                f"step {gstep:6d} loss {loss:9.4f} ema {ema_loss:9.4f} "
-                f"gnorm {rec['grad_norm']:8.3f} {rec['lines_per_sec']:8.1f} lines/s",
-                file=sys.stderr,
+            # LAGGED async logging: materializing a device scalar here is a
+            # full sync round-trip (~74 ms on this tunnel — it was costing
+            # 3 ms/step, HALF the e2e step time, at K=16/log_every=25). So:
+            # start an async device->host copy now, and print the PREVIOUS
+            # log point, whose transfer has had a whole log period in
+            # flight. i == 0 flushes immediately (post-compile signal).
+            for v in m.values():
+                if hasattr(v, "copy_to_host_async"):
+                    v.copy_to_host_async()
+            pending_logs.append(
+                (gstep, lines_seen, time.time() - t_start, m, timer.stats())
             )
-            log({"kind": "train", **rec})
+            while len(pending_logs) > (0 if i == 0 else 1):
+                emit_log(pending_logs.pop(0))
 
         if eval_iter_fn and (
             (gstep // cfg.eval_every) > (prev_gstep // cfg.eval_every)
         ):
+            while pending_logs:  # keep the JSONL ordered; eval syncs anyway
+                emit_log(pending_logs.pop(0))
             ev = evaluate(
                 state, eval_step, eval_iter_fn(), codec, cfg.eval_batches,
                 mesh=cfg.mesh, on_device_cer=cfg.on_device_cer,
@@ -274,6 +296,8 @@ def fit(
                     print("early stopping", file=sys.stderr)
                     break
 
+    while pending_logs:  # flush the lagged tail
+        emit_log(pending_logs.pop(0))
     if profiler_ctx is not None:  # loop ended inside the trace window
         profiler_ctx.__exit__(None, None, None)
     if ckpt:

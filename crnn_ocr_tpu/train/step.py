@@ -352,6 +352,7 @@ def make_cached_multi_train_step(
     normalize: bool = True,
     augment: bool = False,
     augment_seed: int = 0,
+    unroll: int = 1,
 ):
     """K train steps per dispatch over a DEVICE-RESIDENT corpus
     (``data.device_cache.DeviceResidentCorpus``).
@@ -428,7 +429,8 @@ def make_cached_multi_train_step(
             return core(st, batch, rng)
 
         return jax.lax.scan(
-            body, state, {"rows": rows, "batch_index": batch_index}
+            body, state, {"rows": rows, "batch_index": batch_index},
+            unroll=unroll,
         )
 
     return jax.jit(

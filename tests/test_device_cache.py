@@ -42,8 +42,10 @@ def corpus_dir(tmp_path_factory):
 
 
 def _reader(corpus_dir, **kw):
+    kw.setdefault("buckets", (64, 128))
+    kw.setdefault("batch_size", 4)
     return Reader(ReaderConfig(
-        path=corpus_dir, batch_size=4, val_fraction=0.0, buckets=(64, 128),
+        path=corpus_dir, val_fraction=0.0,
         max_label_len=8, pack_cache=True, **kw,
     ))
 
@@ -180,3 +182,102 @@ def test_conflicting_duplicate_transcriptions_rejected(tmp_path):
     ))
     with pytest.raises(ValueError, match="conflicting"):
         DeviceResidentCorpus(r)
+
+
+@pytest.mark.slow
+def test_device_cache_resume_is_bitwise(corpus_dir, tmp_path):
+    """SURVEY §5.4 for the device-cache iterator: fit 4 steps (K=2 stacks)
+    -> checkpoint -> restore -> fit to an 8-step TOTAL with the index
+    stream skipped to step 4 == a straight 8-step run, params bitwise.
+    Single bucket, so the stacked stream replays exactly (multi-bucket
+    regrouping state is documented as order-only divergence)."""
+    from crnn_ocr_tpu.train import CheckpointManager, FitConfig, fit
+
+    r = _reader(corpus_dir, buckets=(128,))
+    corpus = DeviceResidentCorpus(r)
+    cfg = ModelConfig(
+        num_classes=r.codec.num_classes, width=128, stem_filters=8,
+        block_filters=(8, 8, 12, 12), time_dense_size=8, n_units=8,
+        rnn_layers=1, dropout_rate=0.0,
+    )
+
+    def stream(skip=0):
+        return corpus.stacked_index_batches(2, skip=skip)
+
+    def fitcfg(steps, **kw):
+        return FitConfig(steps=steps, log_every=100, eval_every=10_000,
+                         steps_per_call=2, device_corpus=corpus, **kw)
+
+    def fresh_state():
+        return create_train_state(cfg, jax.random.key(0))
+
+    s_a = fit(fresh_state(), cfg, stream(), cfg=fitcfg(8))
+
+    ckdir = str(tmp_path / "ck")
+    s_b = fit(fresh_state(), cfg, stream(), cfg=fitcfg(4, checkpoint_dir=ckdir))
+    mgr = CheckpointManager(ckdir)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape") else x, s_b,
+    )
+    s_c = mgr.restore(abstract)
+    assert int(s_c.step) == 4
+    s_c = fit(s_c, cfg, stream(skip=4), cfg=fitcfg(8))
+
+    assert int(s_c.step) == int(s_a.step) == 8
+    for pa, pc in zip(
+        jax.tree.leaves(s_a.params), jax.tree.leaves(s_c.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pc))
+
+
+@pytest.mark.slow
+def test_cached_step_dp_mesh_matches_single_device(corpus_dir):
+    """The device-cache scan under an 8-device DP mesh (replicated HBM
+    tables, gathered batch explicitly constrained to 'data'-sharding) must
+    produce the same losses/params as the mesh-free scan."""
+    from crnn_ocr_tpu.parallel import make_mesh
+    from crnn_ocr_tpu.parallel import mesh as mesh_lib
+
+    r = _reader(corpus_dir, batch_size=8, buckets=(128,))
+    corpus = DeviceResidentCorpus(r)
+    cfg = ModelConfig(
+        num_classes=r.codec.num_classes, width=128, stem_filters=8,
+        block_filters=(12, 16, 16, 24), time_dense_size=16, n_units=16,
+        rnn_layers=1, dropout_rate=0.1,
+    )
+    rng = jax.random.key(3)
+    stack = next(iter(corpus.stacked_index_batches(2)))
+    arrs = corpus.arrays(128)
+
+    state_ref = create_train_state(cfg, jax.random.key(0), batch_size=8)
+    cached_ref = make_cached_multi_train_step(cfg, donate=False)
+    state_ref, ms_ref = cached_ref(
+        state_ref, arrs["pixels"], arrs["widths"], arrs["labels"],
+        arrs["lab_len"], stack["rows"], stack["batch_index"], rng, bucket=128,
+    )
+
+    mesh = make_mesh(8)
+    corpus_m = DeviceResidentCorpus(r, mesh=mesh)
+    arrs_m = corpus_m.arrays(128)
+    state_m = mesh_lib.replicate_state(
+        create_train_state(cfg, jax.random.key(0), batch_size=8, mesh=mesh),
+        mesh,
+    )
+    cached_m = make_cached_multi_train_step(cfg, donate=False, mesh=mesh)
+    state_m, ms_m = cached_m(
+        state_m, arrs_m["pixels"], arrs_m["widths"], arrs_m["labels"],
+        arrs_m["lab_len"], stack["rows"], stack["batch_index"], rng,
+        bucket=128,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(ms_m["loss"]), np.asarray(ms_ref["loss"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    for a, b in zip(
+        jax.tree.leaves(state_ref.params), jax.tree.leaves(state_m.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-6
+        )
