@@ -91,6 +91,9 @@ def main(argv=None) -> int:
     p.add_argument("--skip_cached_single", action="store_true")
     p.add_argument("--steps_per_call", type=int, nargs="*", default=[16])
     p.add_argument("--device_cache_k", type=int, nargs="*", default=[16])
+    p.add_argument("--results_key", default="train_e2e_files_b128",
+                   help="results.json key (use a distinct key for other "
+                        "corpora so the flagship 10k rows are not clobbered)")
     args = p.parse_args(argv)
 
     pack_dir = os.path.join(args.path, ".crnn_pack")
@@ -181,9 +184,9 @@ def main(argv=None) -> int:
     except (OSError, ValueError):
         results = {}
     # merge: partial runs (--skip_*) update only the legs they measured
-    prev = results.get("train_e2e_files_b128", {})
+    prev = results.get(args.results_key, {})
     prev.update(out)
-    results["train_e2e_files_b128"] = prev
+    results[args.results_key] = prev
     with open(res_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(out, indent=1))

@@ -190,3 +190,39 @@ def test_multi_step_dp_mesh_matches_single_device(tiny):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
         )
+
+
+def test_multi_step_augment_stream_matches_single_path(tiny):
+    """augment=True inside the K-step scan must reproduce the single-step
+    pipeline's augmentation EXACTLY: produce_batch keys the augment stream
+    by global batch index, and the scan body folds the same indices
+    (batch_index) into the same seed."""
+    synth, cfg = tiny
+    K, B, seed = 3, 8, 21
+    rng = jax.random.key(7)
+    state_a = create_train_state(cfg, jax.random.key(0), batch_size=B)
+    state_b = create_train_state(cfg, jax.random.key(0), batch_size=B)
+    single = make_train_step(cfg, donate=False)
+    multi = make_multi_train_step(cfg, donate=False, augment=True,
+                                  augment_seed=seed)
+
+    losses_a = []
+    for db in device_batches(_raw(synth, K), prefetch=0, augment=True,
+                             augment_seed=seed):
+        db.pop("texts"), db.pop("bucket")
+        state_a, m = single(state_a, db, rng)
+        losses_a.append(float(m["loss"]))
+
+    st = list(stack_host_batches(_raw(synth, K), K, prefetch=0))[0]
+    st.pop("texts"), st.pop("stacked")
+    bucket = st.pop("bucket")
+    state_b, ms = multi(state_b, st, rng, bucket=bucket)
+    np.testing.assert_allclose(
+        np.asarray(ms["loss"]), losses_a, rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6
+        )
