@@ -69,6 +69,12 @@ def run_train(path: str, save: str, steps: int, pack: bool,
     # last. lines_per_sec in the log is cumulative (lines_seen / wall), so
     # recover absolute counters and difference the window.
     warm = [r for r in recs if r["step"] >= 100]
+    if len(warm) < 2:
+        raise SystemExit(
+            f"need >= 2 post-warmup train records to difference a window "
+            f"(have {len(warm)} past step 100 of {len(recs)} total) — run "
+            f"with --steps >= 200 or lower log_every"
+        )
     a, b = warm[0], warm[-1]
     lines_a = a["lines_per_sec"] * a["wall"]
     lines_b = b["lines_per_sec"] * b["wall"]

@@ -65,6 +65,22 @@ class DeviceResidentCorpus:
         for path, _ in reader.samples:
             reader._load_image(path)
         pack.flush_index()
+        missing = [
+            reader._size_key(i)
+            for i in range(len(reader.samples))
+            if reader._size_key(i) not in pack.entries
+        ]
+        if missing:
+            # a read-only data dir makes PackedCache.add fail silently
+            # (Reader degrades to uncached reads) — surface it here instead
+            # of a bare KeyError below
+            raise ValueError(
+                f"device_cache: {len(missing)} of {len(reader.samples)} "
+                f"samples could not be packed (first: {missing[0]!r}) — is "
+                f"the data dir read-only? The packed shards must be "
+                f"writable under {pack.dir}; use the --pack_cache/plain "
+                f"streaming path otherwise"
+            )
 
         height = reader.cfg.height
         L = reader.cfg.max_label_len

@@ -25,6 +25,39 @@ import numpy as np
 from crnn_ocr_tpu.ops.preprocess import preprocess_batch
 
 
+def _prefetched(gen, prefetch: int):
+    """Drain ``gen`` on a daemon thread through a bounded queue.
+
+    Exceptions in the producer (e.g. a corrupt image failing cv2 decode)
+    PROPAGATE to the consumer instead of silently ending the stream — a
+    swallowed IOError here would make training stop early and checkpoint
+    as if the run completed."""
+    if prefetch <= 0:
+        yield from gen
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    _END, _ERR = object(), object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            q.put((_ERR, e))
+        else:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
+        yield item
+
+
 def device_batches(
     host_iter: Iterator[Dict[str, np.ndarray]],
     width_downsample: int = 4,
@@ -60,27 +93,7 @@ def device_batches(
             n_produced += 1
         return out
 
-    if prefetch <= 0:
-        for b in host_iter:
-            yield produce(b)
-        return
-
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-    _END = object()
-
-    def worker():
-        try:
-            for b in host_iter:
-                q.put(b)
-        finally:
-            q.put(_END)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        b = q.get()
-        if b is _END:
-            return
+    for b in _prefetched(host_iter, prefetch):
         yield produce(b)
 
 
@@ -181,26 +194,7 @@ def stack_host_batches(
         for bucket in sorted(pending):
             yield from pending[bucket]
 
-    if prefetch <= 0:
-        yield from stacks()
-        return
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-    _END = object()
-
-    def worker():
-        try:
-            for s in stacks():
-                q.put(s)
-        finally:
-            q.put(_END)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        s = q.get()
-        if s is _END:
-            return
-        yield s
+    yield from _prefetched(stacks(), prefetch)
 
 
 def _stack_group(group, bucket: int, quantize_dim) -> Dict[str, np.ndarray]:

@@ -18,14 +18,24 @@ import jax
 import orbax.checkpoint as ocp
 
 
+_intended_metricless_saves = 0  # armed by CheckpointManager.save below
+
+
 class _DropMetriclessSaveNoise(logging.Filter):
     """Metric-less saves (the final latest-state save of every run) are an
     intended mode here — ``keep_checkpoints_without_metrics=True`` — but
     orbax still logs 'Requested `tracked_metric`; did not provide metrics'
-    at WARNING on each one. Drop exactly that message."""
+    at WARNING on each one. Drop exactly that message, and ONLY when one of
+    OUR saves armed it — other orbax managers in the same process keep the
+    warning (there it can flag a real forgot-to-pass-metrics bug)."""
 
     def filter(self, rec: logging.LogRecord) -> bool:
-        return "did not provide metrics" not in rec.getMessage()
+        global _intended_metricless_saves
+        if (_intended_metricless_saves > 0
+                and "did not provide metrics" in rec.getMessage()):
+            _intended_metricless_saves -= 1
+            return False
+        return True
 
 
 logging.getLogger("absl").addFilter(_DropMetriclessSaveNoise())
@@ -73,6 +83,9 @@ class CheckpointManager:
             v = metrics.get(self.track_metric)
             if v is not None and v == v:  # tracked metric present, not NaN
                 save_metrics = {k: float(x) for k, x in metrics.items()}
+        if save_metrics is None and self.track_metric is not None:
+            global _intended_metricless_saves
+            _intended_metricless_saves += 1  # see _DropMetriclessSaveNoise
         self._mgr.save(
             step,
             args=ocp.args.StandardSave(jax.tree.map(lambda x: x, state)),

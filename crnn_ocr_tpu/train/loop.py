@@ -74,6 +74,7 @@ def fit(
             model_cfg,
             exact_keras=cfg.exact_keras_loss,
             mesh=cfg.mesh,
+            width_downsample=model_cfg.width_downsample,
             normalize=cfg.normalize,
             augment=cfg.augment,
             augment_seed=cfg.augment_seed,
@@ -86,6 +87,7 @@ def fit(
             model_cfg,
             exact_keras=cfg.exact_keras_loss,
             mesh=cfg.mesh,
+            width_downsample=model_cfg.width_downsample,
             normalize=cfg.normalize,
             augment=cfg.augment,
             augment_seed=cfg.augment_seed,
@@ -170,9 +172,22 @@ def fit(
             else 0
         )
         k_steps = stacked_k or 1
-        if gstep + k_steps > cfg.steps:
-            break  # never overshoot the TOTAL budget (multi-step skips a
-            # final partial call; the single-step path drains exactly)
+        remaining = cfg.steps - gstep
+        if remaining <= 0:
+            break
+        if k_steps > remaining:
+            if not stacked_k:
+                break  # single-step path drains exactly
+            # trim the stack to the remaining budget so cfg.steps is always
+            # reachable (otherwise a K∤steps run stops short and --resume
+            # can never progress); costs one tail-shape compile
+            k_steps = remaining
+            batch = dict(batch)
+            batch["stacked"] = k_steps
+            for key in ("the_input", "heights", "widths", "the_labels",
+                        "label_length", "batch_index", "rows"):
+                if key in batch and hasattr(batch[key], "shape"):
+                    batch[key] = batch[key][:k_steps]
         prev_gstep, gstep = gstep, gstep + k_steps
 
         if cfg.profile_dir and i == cfg.profile_at:
@@ -184,6 +199,11 @@ def fit(
             bucket = int(batch["bucket"])
             rows = batch["rows"]  # (K, B) int32 — the only per-call bytes
             n_lines = int(rows.shape[0]) * int(rows.shape[1])
+            if cfg.mesh is not None and rows.shape[1] % cfg.mesh.size:
+                raise ValueError(
+                    f"device_cache under a mesh needs batch_size divisible "
+                    f"by the mesh ({rows.shape[1]} % {cfg.mesh.size})"
+                )
             arrs = cfg.device_corpus.arrays(bucket)
             with timer:
                 state, ms = cached_step(
@@ -221,6 +241,7 @@ def fit(
 
                 batch = produce_batch(
                     batch,
+                    width_downsample=model_cfg.width_downsample,
                     normalize=cfg.normalize,
                     augment=cfg.augment,
                     augment_seed=cfg.augment_seed,

@@ -226,3 +226,22 @@ def test_multi_step_augment_stream_matches_single_path(tiny):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6
         )
+
+
+@pytest.mark.slow
+def test_fit_steps_per_call_reaches_exact_budget_with_trim(tiny):
+    """cfg.steps not divisible by K: the final stack is TRIMMED so the
+    TOTAL budget is reachable exactly (previously the loop stopped short
+    at the last K-multiple and --resume could never progress)."""
+    from crnn_ocr_tpu.train import FitConfig, fit
+
+    synth, cfg = tiny
+    state = create_train_state(cfg, jax.random.key(0), batch_size=8)
+    out = fit(
+        state,
+        cfg,
+        stack_host_batches(_raw(synth, 6), 2, prefetch=0),
+        cfg=FitConfig(steps=5, log_every=2, eval_every=100,
+                      steps_per_call=2),
+    )
+    assert int(out.step) == 5

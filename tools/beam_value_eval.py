@@ -172,7 +172,8 @@ def main() -> int:
             ),
         }
         samples = []
-        for i in (beam_fixed + beam_broke + differ)[:6]:
+        # fixed/broke first, then remaining differs — deduped (they overlap)
+        for i in list(dict.fromkeys(beam_fixed + beam_broke + differ))[:6]:
             samples.append({
                 "truth": texts_all[i],
                 "greedy": g_txt[i],
