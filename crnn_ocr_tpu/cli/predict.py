@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "over 'data', params replicated)")
     p.add_argument("--validate", action="store_true",
                    help="compute CER/WER vs annotation")
+    p.add_argument("--alignments", action="store_true",
+                   help="append per-character spans to each row as "
+                        "char@x0:x1(conf) — original-image pixel columns "
+                        "from the greedy argmax run (beyond-reference; "
+                        "see Predictor.predict_with_alignment)")
     p.add_argument("--time", dest="timing", action="store_true")
     return p
 
@@ -118,14 +123,28 @@ def main(argv=None) -> int:
         exact_tf=args.exact_tf_beam,
         timing=args.timing,
     )
+    spans_all = None
+    if args.alignments:
+        spans_all = []
+        for k in range(0, len(images), args.batch_size):
+            spans_all.extend(
+                predictor.predict_with_alignment(
+                    images[k : k + args.batch_size]
+                )
+            )
     n = 0
-    for f, pr in zip(names, preds):
+    for i, (f, pr) in enumerate(zip(names, preds)):
         row = [f, pr.text, f"{pr.score:.4f}"]
         if pr.candidates:
             for text, s in pr.candidates[1:]:
                 row += [text, f"{s:.4f}"]
         if args.timing and pr.latency_ms is not None:
             row.append(f"{pr.latency_ms:.2f}ms")
+        if spans_all is not None:
+            row.append(" ".join(
+                f"{s.char}@{s.x0}:{s.x1}({s.conf:.2f})"
+                for s in spans_all[i]
+            ))
         out.write("\t".join(row) + "\n")
         if f in refs:
             preds_all.append(pr.text)

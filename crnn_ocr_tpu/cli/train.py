@@ -41,6 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-norm", dest="norm", action="store_false",
                    help="disable per-image normalization")
     p.add_argument("--augment", action="store_true")
+    p.add_argument("--font_noise", type=float, default=0.02,
+                   help="--dataset fonts: render-time noise std "
+                        "(fraction of 255)")
+    p.add_argument("--font_min_words", type=int, default=1,
+                   help="--dataset fonts: words per line, lower bound")
+    p.add_argument("--font_max_words", type=int, default=2,
+                   help="--dataset fonts: words per line, upper bound")
     p.add_argument("--pack_cache", action="store_true",
                    help="files dataset: decode each image ONCE into mmap "
                         "shards under <path>/.crnn_pack/, then feed every "
@@ -163,9 +170,13 @@ def main(argv=None) -> int:
         args.pack_cache = True  # the packed shards ARE the device tables
     if args.dataset in ("synthetic", "fonts"):
         if args.dataset == "fonts":
-            from crnn_ocr_tpu.data import FontTextlines
+            from crnn_ocr_tpu.data import FontConfig, FontTextlines
 
-            synth = FontTextlines()
+            synth = FontTextlines(FontConfig(
+                noise=args.font_noise,
+                min_words=args.font_min_words,
+                max_words=args.font_max_words,
+            ))
             bucket = max(args.buckets)
         else:
             synth = SyntheticTextlines(SyntheticConfig(augment=args.augment))

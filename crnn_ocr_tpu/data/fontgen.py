@@ -77,6 +77,12 @@ class FontConfig:
     digits_fraction: float = 0.2  # fraction of samples that are digit strings
     capitalize_fraction: float = 0.3
     noise: float = 0.02
+    # degradations (all off by default): combined they produce tasks with
+    # IRREDUCIBLE ambiguity — trained models plateau at nonzero CER, the
+    # regime the reference's real corpora (IAM scans, plate photos) live in
+    blur: float = 0.0  # Gaussian blur radius, sampled U[0, blur]
+    contrast_min: float = 1.0  # ink/paper span factor, sampled U[min, 1]
+    downscale_min: float = 1.0  # resolution loss: render -> xS down -> up
     seed: int = 0
 
 
@@ -126,7 +132,25 @@ class FontTextlines:
         ImageDraw.Draw(img).text(
             (pad_x - bbox[0], pad_y - bbox[1]), text, font=font, fill=0
         )
+        if c.downscale_min < 1.0:
+            s = float(rng.uniform(c.downscale_min, 1.0))
+            w0, h0 = img.size
+            small = img.resize(
+                (max(1, int(w0 * s)), max(1, int(h0 * s))), Image.BILINEAR
+            )
+            img = small.resize((w0, h0), Image.BILINEAR)
+        if c.blur > 0.0:
+            from PIL import ImageFilter
+
+            img = img.filter(
+                ImageFilter.GaussianBlur(float(rng.uniform(0.0, c.blur)))
+            )
         arr = np.asarray(img, dtype=np.float32)
+        if c.contrast_min < 1.0:
+            # squeeze the ink-paper span toward paper white: gray ink on a
+            # bright page, the dominant failure mode of real scans
+            f = float(rng.uniform(c.contrast_min, 1.0))
+            arr = 255.0 - (255.0 - arr) * f
         if c.noise:
             arr = arr + rng.normal(0, 255 * c.noise, arr.shape)
         return np.clip(arr, 0, 255).astype(np.uint8)

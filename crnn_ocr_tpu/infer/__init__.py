@@ -1,4 +1,5 @@
 from crnn_ocr_tpu.infer.predictor import (
+    CharSpan,
     Prediction,
     Predictor,
     decode_predict_ctc,
@@ -8,6 +9,7 @@ from crnn_ocr_tpu.infer.predictor import (
 from crnn_ocr_tpu.infer.pretrained import load_pretrained, pretrained_dir
 
 __all__ = [
+    "CharSpan",
     "Prediction",
     "Predictor",
     "decode_predict_ctc",

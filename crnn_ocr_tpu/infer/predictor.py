@@ -40,6 +40,19 @@ class Prediction:
     latency_ms: Optional[float] = None
 
 
+@dataclasses.dataclass
+class CharSpan:
+    """One decoded character localized in the ORIGINAL image (beyond the
+    reference, which returns text only): nominal horizontal extent of the
+    character's greedy argmax run, mapped back through the resize and the
+    conv downsample, plus the peak softmax probability inside the run."""
+
+    char: str
+    x0: int  # inclusive, original-image pixel column
+    x1: int  # exclusive
+    conf: float
+
+
 class Predictor:
     def __init__(
         self,
@@ -221,6 +234,59 @@ class Predictor:
 
     def predict_text(self, images: Sequence[np.ndarray], **kw) -> List[str]:
         return [p.text for p in self.predict(images, **kw)]
+
+    def predict_with_alignment(
+        self, images: Sequence[np.ndarray], bucket: Optional[int] = None
+    ) -> List[List[CharSpan]]:
+        """Greedy decode with per-character localization.
+
+        Returns one ``CharSpan`` list per image; joining the chars equals
+        ``predict_text(greedy=True)`` for the same bucket (tested). Frame
+        runs come from ``ops.ctc.ctc_greedy_alignment``; spans convert
+        model frames to original-image pixel columns through the time
+        slice, the conv width-downsample, and the height-normalizing
+        resize. Spans are nominal (receptive-field blur) but cover every
+        frame that voted for the character.
+        """
+        probs, input_len = self.predict_probs(images, bucket=bucket)
+        labels, starts, ends, confs = ctc.ctc_greedy_alignment(
+            probs, input_len
+        )
+        labels, starts, ends, confs = (
+            np.asarray(labels),
+            np.asarray(starts),
+            np.asarray(ends),
+            np.asarray(confs),
+        )
+        ds = self.cfg.width_downsample
+        sl = self.cfg.ctc_time_slice
+        out: List[List[CharSpan]] = []
+        for b, img in enumerate(images):
+            h, w = img.shape[:2]
+            # original x = resized x * h / height (resize preserved aspect)
+            scale = ds * h / self.cfg.height
+            spans = []
+            for j in range(labels.shape[1]):
+                lab = int(labels[b, j])
+                if lab < 0:
+                    break
+                # Consistent half-open pixel mapping: frame boundary k maps
+                # to floor((k + sl) * scale) on BOTH sides, so spans of
+                # adjacent runs tile without overlap at fractional scales.
+                x0 = int(np.floor((starts[b, j] + sl) * scale))
+                x1 = int(np.floor((ends[b, j] + 1 + sl) * scale))
+                x0 = min(x0, max(w - 1, 0))
+                x1 = min(max(x1, x0 + 1), w)
+                spans.append(
+                    CharSpan(
+                        char=self.codec.labels_to_text([lab]),
+                        x0=x0,
+                        x1=x1,
+                        conf=float(confs[b, j]),
+                    )
+                )
+            out.append(spans)
+        return out
 
     def predict_many(
         self,

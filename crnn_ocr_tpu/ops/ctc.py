@@ -256,6 +256,72 @@ def ctc_greedy_decode(
     return decoded, neg_sum
 
 
+@jax.jit
+def ctc_greedy_alignment(
+    y_pred: jnp.ndarray, input_length: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-character time alignment of the greedy path (beyond-reference:
+    the reference exposes decoded text only; OCR consumers routinely need
+    WHERE each character sits — e.g. to crop fields or overlay boxes).
+
+    For each character that ``ctc_greedy_decode`` (merge_repeated=True)
+    emits, reports the frame extent of its argmax RUN — the maximal block
+    of consecutive valid frames sharing that argmax label — and the peak
+    softmax probability inside the run (the usual per-char confidence).
+    The run is a nominal localization (the conv receptive field blurs
+    edges), but it is the standard CTC segmentation and is exact about
+    which frames voted for the character.
+
+    All on-device: one argmax + boundary cumsum + two per-row segment
+    reductions; statically shaped (segments keyed by frame index).
+
+    Args:
+      y_pred: (B, T, C) post-softmax probabilities, blank = C-1 (same
+        contract as ``ctc_greedy_decode``).
+      input_length: (B,) valid frame counts.
+
+    Returns (labels, starts, ends, confs), all (B, T), left-packed to match
+    ``ctc_greedy_decode``'s emitted sequence exactly (asserted by tests):
+      labels: int32 class ids, -1 padded.
+      starts/ends: int32 first/last frame of the run (inclusive), -1 padded.
+      confs: float32 max probability over the run, 0 padded.
+    """
+    B, T, C = y_pred.shape
+    blank = C - 1
+    y_pred = y_pred.astype(jnp.float32)
+    input_length = input_length.astype(jnp.int32).reshape(B)
+
+    best = jnp.argmax(y_pred, axis=-1).astype(jnp.int32)  # (B, T)
+    pmax = jnp.max(y_pred, axis=-1)  # (B, T)
+    t_idx = jnp.arange(T)[None, :]
+    valid = t_idx < input_length[:, None]
+
+    # Invalid frames must never extend a valid run (TF greedy stops at
+    # input_length): give them an impossible label so they break segments.
+    best_eff = jnp.where(valid, best, -2)
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -3, jnp.int32), best_eff[:, :-1]], 1
+    )
+    newrun = best_eff != prev  # (B, T); frame 0 always True (-3 sentinel)
+    seg_id = jnp.cumsum(newrun.astype(jnp.int32), axis=-1) - 1  # in [0, T)
+
+    def per_row(seg, frames, conf):
+        seg_end = jax.ops.segment_max(frames, seg, num_segments=T)
+        seg_conf = jax.ops.segment_max(conf, seg, num_segments=T)
+        return seg_end[seg], seg_conf[seg]
+
+    run_end, run_conf = jax.vmap(per_row)(
+        seg_id, jnp.broadcast_to(t_idx, (B, T)), pmax
+    )
+
+    keep = valid & (best != blank) & newrun  # one emission per run
+    labels, _ = _pack_left(best, keep, -1)
+    starts, _ = _pack_left(jnp.broadcast_to(t_idx, (B, T)), keep, -1)
+    ends, _ = _pack_left(run_end, keep, -1)
+    confs, _ = _pack_left(run_conf, keep, jnp.float32(0.0))
+    return labels, starts, ends, confs
+
+
 # ---------------------------------------------------------------------------
 # Beam-search decoding
 # ---------------------------------------------------------------------------

@@ -129,3 +129,50 @@ def test_train_cli_stn_pins_width(tmp_path):
             [np.full((32, w), 255, np.uint8)]
         )
         assert probs.shape[1] == 64 // 4 - 2
+
+
+def test_predict_cli_alignments(tmp_path, dataset_dir):
+    """--alignments appends a char@x0:x1(conf) column whose chars join to
+    the decoded text (fast: artifact saved directly, no training)."""
+    import re
+
+    import jax
+
+    from crnn_ocr_tpu.cli.predict import main as predict_main
+    from crnn_ocr_tpu.models import ModelConfig
+    from crnn_ocr_tpu.train import CheckpointManager, create_train_state
+
+    synth = SyntheticTextlines(
+        SyntheticConfig(alphabet="0123456789", min_len=2, max_len=4)
+    )
+    cfg = ModelConfig(
+        num_classes=synth.codec.num_classes,
+        width=128,
+        stem_filters=8,
+        block_filters=(16, 16, 24, 24),
+        time_dense_size=16,
+        n_units=16,
+        rnn_layers=1,
+    )
+    state = create_train_state(cfg, jax.random.key(0))
+    model_dir = str(tmp_path / "m")
+    mgr = CheckpointManager(model_dir)
+    mgr.save(0, state, cfg, synth.codec)
+    mgr.wait()
+
+    out_file = str(tmp_path / "o.tsv")
+    rc = predict_main([
+        "--model", model_dir,
+        "--image_dir", dataset_dir,
+        "--greedy",
+        "--alignments",
+        "--result", out_file,
+    ])
+    assert rc == 0
+    rows = [l.split("\t") for l in open(out_file).read().splitlines()]
+    assert len(rows) == 24
+    for cols in rows:
+        spans = re.findall(r"(.)@(\d+):(\d+)\(", cols[-1])
+        assert "".join(c for c, _, _ in spans) == cols[1]
+        for _, x0, x1 in spans:
+            assert int(x0) < int(x1)

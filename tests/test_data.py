@@ -328,3 +328,30 @@ def test_packed_cache_interrupted_build_recovers(image_dir, tmp_path):
             cv2.resize(imgs[name], (wn, 32),
                        interpolation=cv2.INTER_LINEAR),
         )
+
+
+def test_fontgen_degradations_deterministic_and_bounded():
+    """FontConfig degradation knobs (blur / contrast_min / downscale_min):
+    renders stay uint8 in-range, are deterministic given the rng state,
+    and low contrast measurably shrinks the ink-paper span."""
+    from crnn_ocr_tpu.data import FontConfig, FontTextlines
+
+    hard = FontTextlines(FontConfig(
+        noise=0.05, blur=1.0, contrast_min=0.4, downscale_min=0.6,
+    ))
+    a = hard.render("hello", np.random.default_rng(3))
+    b = hard.render("hello", np.random.default_rng(3))
+    np.testing.assert_array_equal(a, b)
+    assert a.dtype == np.uint8
+
+    clean = FontTextlines(FontConfig(noise=0.0))
+    dark = FontTextlines(FontConfig(noise=0.0, contrast_min=0.3))
+    spans_c, spans_d = [], []
+    for s in range(8):
+        rng = np.random.default_rng(s)
+        img_c = clean.render("contrast", rng)
+        rng = np.random.default_rng(s)
+        img_d = dark.render("contrast", rng)
+        spans_c.append(int(img_c.max()) - int(img_c.min()))
+        spans_d.append(int(img_d.max()) - int(img_d.min()))
+    assert np.mean(spans_d) < np.mean(spans_c)

@@ -121,6 +121,27 @@ def test_predict_many_bucket_grouping(saved_model):
     assert all(p is not None and isinstance(p.text, str) for p in out)
 
 
+def test_predict_with_alignment_consistent(saved_model):
+    """Alignment chars join to the greedy text; spans are in-bounds,
+    ordered, and non-overlapping (runs are disjoint frame blocks)."""
+    d, synth = saved_model
+    pred = init_predictor(d)
+    rng = np.random.default_rng(7)
+    images, _ = synth.sample_batch(4, rng)
+    spans_all = pred.predict_with_alignment(images)
+    texts = pred.predict_text(images, greedy=True)
+    assert len(spans_all) == 4
+    for img, spans, text in zip(images, spans_all, texts):
+        assert "".join(s.char for s in spans) == text
+        w = img.shape[1]
+        prev_end = 0
+        for s in spans:
+            assert 0 <= s.x0 < s.x1 <= w
+            assert s.x0 >= prev_end  # disjoint runs -> disjoint spans
+            prev_end = s.x1
+            assert 0.0 < s.conf <= 1.0
+
+
 def test_stn_predictor_single_native_bucket(saved_model):
     """An STN model's loc-Dense is width-bound (C5): the predictor must
     route every request to the training bucket, narrow or wide."""

@@ -57,11 +57,37 @@ def main() -> int:
     B = 128
     seed = int(os.environ.get("BEAM_EVAL_SEED", "777"))
     noise = float(os.environ.get("BEAM_EVAL_NOISE", "0.06"))
+    model = os.environ.get("BEAM_EVAL_MODEL", "fonts-small")
+    bucket = int(os.environ.get("BEAM_EVAL_BUCKET", "128"))
+    min_words = int(os.environ.get("BEAM_EVAL_MIN_WORDS", "1"))
+    max_words = int(os.environ.get("BEAM_EVAL_MAX_WORDS", "2"))
 
-    pred = load_pretrained("fonts-small")
+    # arbitrary FontConfig overrides (degradations etc.) as a JSON dict —
+    # set this to the EXACT config the model's corpus was rendered with so
+    # the eval measures the model's own task
+    fontcfg = json.loads(os.environ.get("BEAM_EVAL_FONTCFG", "{}"))
+
+    pred = load_pretrained(model)
     codec = pred.codec
-    synth = FontTextlines(FontConfig(noise=noise))
+    synth = FontTextlines(FontConfig(**{
+        "noise": noise, "min_words": min_words, "max_words": max_words,
+        **fontcfg,
+    }))
     rng = np.random.default_rng(seed)
+
+    def sample_fitting(n):
+        """Fresh samples whose height-32-normalized width fits the eval
+        bucket (same filter tools/make_font_corpus.py --max_w_new applies,
+        so the eval distribution matches a width-capped training corpus)."""
+        images, texts = [], []
+        while len(images) < n:
+            imgs, txts = synth.sample_batch(n - len(images), rng)
+            for img, t in zip(imgs, txts):
+                h, w = img.shape[:2]
+                if round(w * 32 / h) <= bucket:
+                    images.append(img)
+                    texts.append(t)
+        return images, texts
 
     texts_all, g_txt = [], []
     b_txt = {m: [] for m in MODES}
@@ -69,9 +95,9 @@ def main() -> int:
     b_logp = []  # mode-invariant (merge is output-extraction only)
     oracle_mismatch = {m: 0 for m in MODES}
     for k in range(0, N, B):
-        images, texts = synth.sample_batch(min(B, N - k), rng)
+        images, texts = sample_fitting(min(B, N - k))
         texts_all.extend(texts)
-        probs, il = pred.predict_probs(images, bucket=128)
+        probs, il = pred.predict_probs(images, bucket=bucket)
         probs_np, il_np = np.asarray(probs), np.asarray(il)
 
         dec_g, _ = ctc.ctc_greedy_decode(probs, il)
@@ -187,14 +213,18 @@ def main() -> int:
     payload = {
         "tool": "tools/beam_value_eval.py",
         "backend": jax.default_backend(),
-        "model": "fonts-small",
+        "model": model,
         "n": N,
         "seed": seed,
         "render_noise": noise,
+        "bucket": bucket,
+        "words": [min_words, max_words],
+        "fontcfg_overrides": fontcfg,
         "results": res,
     }
-    with open(os.path.join(REPO, "benchmarks", "beam_value_eval.json"),
-              "w") as f:
+    suffix = "" if model == "fonts-small" else f"_{model.replace('-', '_')}"
+    with open(os.path.join(REPO, "benchmarks",
+                           f"beam_value_eval{suffix}.json"), "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload, indent=1))
     return 0

@@ -29,6 +29,19 @@ def main(argv=None) -> int:
     p.add_argument("--n", type=int, default=10000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_words", type=int, default=2)
+    p.add_argument("--min_words", type=int, default=1)
+    p.add_argument("--noise", type=float, default=0.02,
+                   help="render-time Gaussian noise std (fraction of 255); "
+                        "0.08+ with small glyphs yields a hard task whose "
+                        "trained model plateaus at nonzero CER")
+    p.add_argument("--min_size", type=int, default=18)
+    p.add_argument("--max_size", type=int, default=26)
+    p.add_argument("--blur", type=float, default=0.0,
+                   help="max Gaussian blur radius (sampled U[0, blur])")
+    p.add_argument("--contrast_min", type=float, default=1.0,
+                   help="min ink/paper contrast factor (sampled U[min, 1])")
+    p.add_argument("--downscale_min", type=float, default=1.0,
+                   help="min resolution-loss scale (render->down->up)")
     p.add_argument("--max_w_new", type=int, default=0,
                    help="skip images whose height-32-normalized width "
                         "exceeds this (0 = keep all); e.g. 128 yields a "
@@ -40,7 +53,12 @@ def main(argv=None) -> int:
 
     from crnn_ocr_tpu.data.fontgen import FontConfig, FontTextlines
 
-    synth = FontTextlines(FontConfig(max_words=args.max_words))
+    synth = FontTextlines(FontConfig(
+        max_words=args.max_words, min_words=args.min_words,
+        noise=args.noise, min_size=args.min_size, max_size=args.max_size,
+        blur=args.blur, contrast_min=args.contrast_min,
+        downscale_min=args.downscale_min,
+    ))
     img_dir = os.path.join(args.out, "images")
     os.makedirs(img_dir, exist_ok=True)
     lines = []
