@@ -74,3 +74,40 @@ def test_load_pretrained_fonts_stn():
     got = pred.predict_text(images)
     acc = sum(g == t for g, t in zip(got, texts))
     assert acc >= 5, list(zip(got, texts))
+
+
+def test_load_pretrained_fonts_hard():
+    """The nonzero-CER anchor artifact: trained on the DEGRADED multi-word
+    task (blur/contrast/resolution loss/noise). On fresh samples from its
+    own distribution it must read most lines right but is EXPECTED to err
+    (val plateau CER ~0.04) — assert a band, not perfection."""
+    import os
+
+    from crnn_ocr_tpu.data import FontConfig, FontTextlines
+    from crnn_ocr_tpu.infer import load_pretrained, pretrained_dir
+    from crnn_ocr_tpu.utils.metrics import cer
+
+    try:
+        d = pretrained_dir("fonts-hard")
+    except KeyError:
+        pytest.skip("fonts-hard not registered")
+    if not os.path.exists(os.path.join(d, "weights.h5")):
+        pytest.skip("pretrained artifact not present")
+
+    pred = load_pretrained("fonts-hard")
+    synth = FontTextlines(FontConfig(
+        noise=0.12, min_words=2, max_words=3, min_size=12, max_size=20,
+        blur=1.2, contrast_min=0.35, downscale_min=0.5,
+    ))
+    rng = np.random.default_rng(99)
+    images, texts = [], []
+    while len(images) < 48:
+        imgs, txts = synth.sample_batch(48 - len(images), rng)
+        for img, t in zip(imgs, txts):
+            h, w = img.shape[:2]
+            if round(w * 32 / h) <= 256:
+                images.append(img)
+                texts.append(t)
+    got = pred.predict_text(images, bucket=256)
+    c = cer(got, texts)
+    assert c < 0.15, (c, list(zip(got, texts))[:4])
