@@ -122,16 +122,22 @@ def main(argv=None) -> int:
         merge_repeated=not args.beam_no_merge,
         exact_tf=args.exact_tf_beam,
         timing=args.timing,
+        # greedy mode: spans ride along on the same forward pass
+        alignments=args.alignments and args.greedy,
     )
     spans_all = None
     if args.alignments:
-        spans_all = []
-        for k in range(0, len(images), args.batch_size):
-            spans_all.extend(
-                predictor.predict_with_alignment(
-                    images[k : k + args.batch_size]
+        if args.greedy:
+            spans_all = [p.spans for p in preds]
+        else:
+            # beam text + greedy-path localization: separate pass
+            spans_all = []
+            for k in range(0, len(images), args.batch_size):
+                spans_all.extend(
+                    predictor.predict_with_alignment(
+                        images[k : k + args.batch_size]
+                    )
                 )
-            )
     n = 0
     for i, (f, pr) in enumerate(zip(names, preds)):
         row = [f, pr.text, f"{pr.score:.4f}"]

@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "repeated labels across blanks. Default matches "
                         "K.ctc_decode (TF-V1 merge_repeated=True), which "
                         "collapses double letters ('door'->'dor')")
+    p.add_argument("--alignments", action="store_true",
+                   help="greedy mode only: include per-character pixel "
+                        "spans + confidences in each /predict response "
+                        "(beyond-reference; Predictor alignments)")
     p.add_argument("--no-norm", dest="norm", action="store_false")
     p.add_argument("--no-warmup", dest="warmup", action="store_false",
                    help="skip ahead-of-time compilation of all programs")
@@ -67,12 +71,16 @@ def main(argv=None) -> int:
         print(e, file=sys.stderr)
         return 2
 
+    if args.alignments and args.beam_width > 0:
+        print("--alignments requires greedy decode (beam_width 0)",
+              file=sys.stderr)
+        return 2
     decode_kw = (
         {"greedy": False, "beam_width": args.beam_width,
          "top_paths": args.top_paths,
          "merge_repeated": not args.beam_no_merge}
         if args.beam_width > 0
-        else {"greedy": True}
+        else {"greedy": True, "alignments": args.alignments}
     )
     server = OCRServer(
         predictor,
@@ -91,7 +99,9 @@ def main(argv=None) -> int:
             flush=True,
         )
         server.batcher.warmup()
-    mode = "greedy" if decode_kw.get("greedy") else (
+    mode = (
+        "greedy" + ("+align" if args.alignments else "")
+    ) if decode_kw.get("greedy") else (
         f"beam{args.beam_width}"
         + ("-nomerge" if args.beam_no_merge else "")
     )

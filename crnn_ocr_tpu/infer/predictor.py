@@ -38,6 +38,7 @@ class Prediction:
     score: float
     candidates: Optional[List[Tuple[str, float]]] = None
     latency_ms: Optional[float] = None
+    spans: Optional[list] = None  # List[CharSpan] when alignments=True
 
 
 @dataclasses.dataclass
@@ -178,16 +179,31 @@ class Predictor:
         exact_tf: bool = False,
         timing: bool = False,
         bucket: Optional[int] = None,
+        alignments: bool = False,
     ) -> List[Prediction]:
         """``merge_repeated`` (beam only): True = Keras/TF-V1 parity
         (repeated output labels merge even across blanks — collapses
         double letters); False = standard CTC beam (TF2 semantics).
-        Scores are identical either way; see ops/ctc.py::ctc_decode."""
+        Scores are identical either way; see ops/ctc.py::ctc_decode.
+
+        ``alignments=True`` (greedy only) additionally fills each
+        ``Prediction.spans`` with per-character ``CharSpan`` localization
+        from the SAME forward pass (no extra device work beyond the
+        alignment op itself)."""
+        if alignments and not greedy:
+            raise ValueError(
+                "alignments are defined on the greedy path only"
+            )
         t0 = time.perf_counter()
         probs, input_len = self.predict_probs(images, bucket=bucket)
+        spans_rows = None
         if greedy:
             decoded, score = ctc.ctc_greedy_decode(probs, input_len)
             decoded_list, scores = [decoded], np.asarray(score)
+            if alignments:
+                spans_rows = self._spans_rows(
+                    images, *ctc.ctc_greedy_alignment(probs, input_len)
+                )
         elif exact_tf:
             from crnn_ocr_tpu.ops.ctc_beam_exact import (
                 ctc_beam_search_decode_exact,
@@ -228,6 +244,7 @@ class Predictor:
                     score=cands[0][1],
                     candidates=cands if len(cands) > 1 else None,
                     latency_ms=dt / B if timing else None,
+                    spans=spans_rows[b] if spans_rows is not None else None,
                 )
             )
         return out
@@ -249,9 +266,16 @@ class Predictor:
         frame that voted for the character.
         """
         probs, input_len = self.predict_probs(images, bucket=bucket)
-        labels, starts, ends, confs = ctc.ctc_greedy_alignment(
-            probs, input_len
+        return self._spans_rows(
+            images, *ctc.ctc_greedy_alignment(probs, input_len)
         )
+
+    def _spans_rows(
+        self, images, labels, starts, ends, confs
+    ) -> List[List[CharSpan]]:
+        """Convert on-device alignment arrays to per-image CharSpan lists
+        in original-image pixel columns (shared by predict_with_alignment
+        and predict(alignments=True))."""
         labels, starts, ends, confs = (
             np.asarray(labels),
             np.asarray(starts),

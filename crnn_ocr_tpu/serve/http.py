@@ -11,7 +11,9 @@ its Future while the single device thread runs coalesced batches.
 Endpoints:
   * ``POST /predict`` — body = encoded image (PNG/JPEG/BMP/…, anything
     cv2 decodes) or a raw ``.npy`` grayscale array. Returns JSON
-    ``{"text", "score", "candidates"?}``.
+    ``{"text", "score", "candidates"?, "alignments"?}`` (``alignments`` —
+    per-char ``{char, x0, x1, conf}`` pixel spans — when the daemon was
+    started with ``--alignments``; greedy mode only).
   * ``GET /healthz`` — liveness: ``{"ok": true}``.
   * ``GET /stats``   — batcher counters + latency percentiles.
 
@@ -156,6 +158,12 @@ class _Handler(BaseHTTPRequestHandler):
         if pred.candidates:
             out["candidates"] = [
                 {"text": t, "score": s} for t, s in pred.candidates
+            ]
+        if pred.spans is not None:  # daemon started with --alignments
+            out["alignments"] = [
+                {"char": s.char, "x0": s.x0, "x1": s.x1,
+                 "conf": round(s.conf, 4)}
+                for s in pred.spans
             ]
         self._reply(200, out)
 

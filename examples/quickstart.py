@@ -68,6 +68,12 @@ def main():
         print(f"[{status}] read {pred.text!r} (truth {t!r}, "
               f"conf {pred.score:.2f})")
 
+    # beyond the reference: per-character localization (greedy path)
+    spans = predictor.predict_with_alignment(images[:1])[0]
+    print("alignment:", " ".join(
+        f"{s.char}@{s.x0}:{s.x1}({s.conf:.2f})" for s in spans
+    ))
+
 
 if __name__ == "__main__":
     main()

@@ -283,3 +283,31 @@ def test_http_metrics_endpoint(predictor):
         assert "ocr_latency_ms_p50" in body
     finally:
         srv.stop()
+
+
+def test_http_alignments_mode(predictor):
+    """Daemon started with alignments decode_kw returns per-char spans
+    whose chars join to the decoded text; batch padding must not leak
+    blank-row spans into real responses."""
+    pred, synth = predictor
+    rng = np.random.default_rng(9)
+    images, _ = synth.sample_batch(2, rng)
+    srv = OCRServer(
+        pred, host="127.0.0.1", port=0, max_batch=4, max_wait_ms=10.0,
+        decode_kw={"greedy": True, "alignments": True},
+    ).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        for img in images:
+            buf = io.BytesIO()
+            np.save(buf, img)
+            status, body = _post(base + "/predict", buf.getvalue())
+            assert status == 200
+            assert "alignments" in body
+            spans = body["alignments"]
+            assert "".join(s["char"] for s in spans) == body["text"]
+            for s in spans:
+                assert 0 <= s["x0"] < s["x1"] <= img.shape[1]
+                assert 0.0 < s["conf"] <= 1.0
+    finally:
+        srv.stop()
