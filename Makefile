@@ -7,6 +7,11 @@
 # cases — every test class that caught a shipped regression). Stamps the
 # staged tree so the pre-commit hook doesn't re-run an already-green tree.
 smoke:
+	@GIT_DIR=$$(git rev-parse --git-dir 2>/dev/null); \
+	  if [ -n "$$GIT_DIR" ] && [ ! -x "$$GIT_DIR/hooks/pre-commit" ]; then \
+	    echo "[smoke-gate] WARNING: $$GIT_DIR/hooks/pre-commit is ABSENT —" \
+	         "the gate is NOT enforced. Run 'make install-hooks' now." >&2; \
+	  fi
 	python -m pytest tests/ -m "not slow" -q
 	@GIT_DIR=$$(git rev-parse --git-dir 2>/dev/null) && \
 	  git write-tree > "$$GIT_DIR/smoke-pass" 2>/dev/null && \

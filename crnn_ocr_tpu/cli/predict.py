@@ -48,9 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compute CER/WER vs annotation")
     p.add_argument("--alignments", action="store_true",
                    help="append per-character spans to each row as "
-                        "char@x0:x1(conf) — original-image pixel columns "
-                        "from the greedy argmax run (beyond-reference; "
-                        "see Predictor.predict_with_alignment)")
+                        "char@x0:x1(conf) — original-image pixel columns. "
+                        "Greedy mode localizes the argmax runs; beam mode "
+                        "force-aligns the decoded top path (constrained "
+                        "Viterbi), so spans always join to the printed "
+                        "text (beyond-reference)")
     p.add_argument("--time", dest="timing", action="store_true")
     return p
 
@@ -122,22 +124,11 @@ def main(argv=None) -> int:
         merge_repeated=not args.beam_no_merge,
         exact_tf=args.exact_tf_beam,
         timing=args.timing,
-        # greedy mode: spans ride along on the same forward pass
-        alignments=args.alignments and args.greedy,
+        # spans ride along on the same forward pass in both modes (beam
+        # force-aligns its own top path — see Predictor.predict)
+        alignments=args.alignments,
     )
-    spans_all = None
-    if args.alignments:
-        if args.greedy:
-            spans_all = [p.spans for p in preds]
-        else:
-            # beam text + greedy-path localization: separate pass
-            spans_all = []
-            for k in range(0, len(images), args.batch_size):
-                spans_all.extend(
-                    predictor.predict_with_alignment(
-                        images[k : k + args.batch_size]
-                    )
-                )
+    spans_all = [p.spans for p in preds] if args.alignments else None
     n = 0
     for i, (f, pr) in enumerate(zip(names, preds)):
         row = [f, pr.text, f"{pr.score:.4f}"]

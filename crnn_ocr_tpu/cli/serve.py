@@ -43,9 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "K.ctc_decode (TF-V1 merge_repeated=True), which "
                         "collapses double letters ('door'->'dor')")
     p.add_argument("--alignments", action="store_true",
-                   help="greedy mode only: include per-character pixel "
-                        "spans + confidences in each /predict response "
-                        "(beyond-reference; Predictor alignments)")
+                   help="include per-character pixel spans + confidences "
+                        "in each /predict response; beam mode force-aligns "
+                        "the decoded top path so spans match the returned "
+                        "text (beyond-reference; Predictor alignments)")
     p.add_argument("--no-norm", dest="norm", action="store_false")
     p.add_argument("--no-warmup", dest="warmup", action="store_false",
                    help="skip ahead-of-time compilation of all programs")
@@ -71,14 +72,11 @@ def main(argv=None) -> int:
         print(e, file=sys.stderr)
         return 2
 
-    if args.alignments and args.beam_width > 0:
-        print("--alignments requires greedy decode (beam_width 0)",
-              file=sys.stderr)
-        return 2
     decode_kw = (
         {"greedy": False, "beam_width": args.beam_width,
          "top_paths": args.top_paths,
-         "merge_repeated": not args.beam_no_merge}
+         "merge_repeated": not args.beam_no_merge,
+         "alignments": args.alignments}
         if args.beam_width > 0
         else {"greedy": True, "alignments": args.alignments}
     )
@@ -104,6 +102,7 @@ def main(argv=None) -> int:
     ) if decode_kw.get("greedy") else (
         f"beam{args.beam_width}"
         + ("-nomerge" if args.beam_no_merge else "")
+        + ("+align" if args.alignments else "")
     )
     print(
         f"serving on {args.host}:{server.port} "

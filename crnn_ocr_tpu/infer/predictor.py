@@ -107,6 +107,20 @@ class Predictor:
             (b for b in self.buckets if w_need <= b), self.buckets[-1]
         )
 
+    def resolve_bucket(
+        self, images: Sequence[np.ndarray], bucket: Optional[int] = None
+    ) -> int:
+        """Bucket a whole batch routes to: the smallest bucket fitting the
+        widest height-normalized image, else the last bucket (images wider
+        than it squeeze — preprocess_batch clamps w_new to the bucket)."""
+        if bucket is not None:
+            return bucket
+        w_need = max(
+            int(round(im.shape[1] * self.cfg.height / im.shape[0]))
+            for im in (np.asarray(im) for im in images)
+        )
+        return next((b for b in self.buckets if w_need <= b), self.buckets[-1])
+
     def blank_row(self) -> np.ndarray:
         """White pad image used for batch-ladder padding rows."""
         return np.full((self.cfg.height, 16), 255, np.uint8)
@@ -139,12 +153,7 @@ class Predictor:
             images += [self.blank_row()] * pad
         canvas, hs, ws = pack_canvas(images, quantize=True)
         if bucket is None:
-            w_need = max(
-                int(round(w * self.cfg.height / h)) for h, w in zip(hs, ws)
-            )
-            bucket = next(
-                (b for b in self.buckets if w_need <= b), self.buckets[-1]
-            )
+            bucket = self.resolve_bucket(images)
         if self.mesh is not None:
             from crnn_ocr_tpu.parallel.mesh import batch_sharding
 
@@ -186,15 +195,14 @@ class Predictor:
         double letters); False = standard CTC beam (TF2 semantics).
         Scores are identical either way; see ops/ctc.py::ctc_decode.
 
-        ``alignments=True`` (greedy only) additionally fills each
-        ``Prediction.spans`` with per-character ``CharSpan`` localization
-        from the SAME forward pass (no extra device work beyond the
-        alignment op itself)."""
-        if alignments and not greedy:
-            raise ValueError(
-                "alignments are defined on the greedy path only"
-            )
+        ``alignments=True`` additionally fills each ``Prediction.spans``
+        with per-character ``CharSpan`` localization from the SAME forward
+        pass. Greedy mode localizes the argmax runs
+        (``ops.ctc.ctc_greedy_alignment``); beam mode force-aligns the
+        decoded top path (``ops.ctc.ctc_forced_alignment``, constrained
+        Viterbi) so the spans always describe the RETURNED text."""
         t0 = time.perf_counter()
+        bucket = self.resolve_bucket(images, bucket)
         probs, input_len = self.predict_probs(images, bucket=bucket)
         spans_rows = None
         if greedy:
@@ -202,7 +210,9 @@ class Predictor:
             decoded_list, scores = [decoded], np.asarray(score)
             if alignments:
                 spans_rows = self._spans_rows(
-                    images, *ctc.ctc_greedy_alignment(probs, input_len)
+                    images,
+                    bucket,
+                    *ctc.ctc_greedy_alignment(probs, input_len),
                 )
         elif exact_tf:
             from crnn_ocr_tpu.ops.ctc_beam_exact import (
@@ -227,6 +237,21 @@ class Predictor:
                 merge_repeated=merge_repeated,
             )
             scores = np.asarray(scores)
+        if alignments and not greedy:
+            # Force-align the decoded TOP path so spans describe the beam
+            # text itself (constrained Viterbi — see ctc_forced_alignment).
+            dec = jnp.asarray(np.asarray(decoded_list[0]))
+            spans_rows = self._spans_rows(
+                images,
+                bucket,
+                jnp.where(dec >= 0, dec, -1),
+                *ctc.ctc_forced_alignment(
+                    probs,
+                    input_len,
+                    jnp.maximum(dec, 0),
+                    jnp.sum(dec >= 0, axis=1),
+                )[:3],
+            )
         dt = (time.perf_counter() - t0) * 1e3
 
         out = []
@@ -265,13 +290,14 @@ class Predictor:
         resize. Spans are nominal (receptive-field blur) but cover every
         frame that voted for the character.
         """
+        bucket = self.resolve_bucket(images, bucket)
         probs, input_len = self.predict_probs(images, bucket=bucket)
         return self._spans_rows(
-            images, *ctc.ctc_greedy_alignment(probs, input_len)
+            images, bucket, *ctc.ctc_greedy_alignment(probs, input_len)
         )
 
     def _spans_rows(
-        self, images, labels, starts, ends, confs
+        self, images, bucket, labels, starts, ends, confs
     ) -> List[List[CharSpan]]:
         """Convert on-device alignment arrays to per-image CharSpan lists
         in original-image pixel columns (shared by predict_with_alignment
@@ -287,12 +313,16 @@ class Predictor:
         out: List[List[CharSpan]] = []
         for b, img in enumerate(images):
             h, w = img.shape[:2]
-            # original x = resized x * h / height (resize preserved aspect)
-            scale = ds * h / self.cfg.height
+            # Effective content width AFTER the resize: preprocess_batch
+            # clamps w_new to the bucket (images wider than it squeeze), so
+            # original x = resized x * w / w_new — NOT h / height, which is
+            # only the aspect-preserving case (w_new unclamped).
+            w_new = min(int(round(w * self.cfg.height / h)), bucket)
+            scale = ds * w / max(w_new, 1)
             spans = []
             for j in range(labels.shape[1]):
                 lab = int(labels[b, j])
-                if lab < 0:
+                if lab < 0 or starts[b, j] < 0:
                     break
                 # Consistent half-open pixel mapping: frame boundary k maps
                 # to floor((k + sl) * scale) on BOTH sides, so spans of

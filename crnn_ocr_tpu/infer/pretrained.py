@@ -34,7 +34,7 @@ REGISTRY = {
     # synthetic proxy for the reference's IAM/plates regime): 2-3 word
     # lines, glyph sizes 12-20, blur<=1.2, contrast down to 0.35, 2x
     # resolution loss, noise 0.12 — trained 10k steps w/ on-device augment
-    # to its plateau, val CER 0.036 / WER 0.16 (metrics_10000.json; the
+    # to its plateau, val CER 0.0386 / WER 0.164 (BASELINE.md; the
     # own-task greedy-vs-beam eval is benchmarks/beam_value_eval_fonts_hard
     # .json). Bucket 256.
     "fonts-hard": "fonts_hard",

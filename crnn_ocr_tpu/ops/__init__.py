@@ -7,6 +7,7 @@ from crnn_ocr_tpu.ops.ctc import (
     ctc_batch_cost,
     ctc_beam_search_decode,
     ctc_decode,
+    ctc_forced_alignment,
     ctc_greedy_alignment,
     ctc_greedy_decode,
     ctc_loss_from_log_probs,
@@ -32,6 +33,7 @@ __all__ = [
     "ctc_batch_cost",
     "ctc_beam_search_decode",
     "ctc_decode",
+    "ctc_forced_alignment",
     "ctc_greedy_alignment",
     "ctc_greedy_decode",
     "ctc_loss_from_log_probs",

@@ -322,6 +322,165 @@ def ctc_greedy_alignment(
     return labels, starts, ends, confs
 
 
+@jax.jit
+def ctc_forced_alignment(
+    y_pred: jnp.ndarray,
+    input_length: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_length: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Constrained (forced) Viterbi alignment of a GIVEN label sequence
+    (beyond-reference; the decode-agnostic sibling of
+    :func:`ctc_greedy_alignment` — works for beam output, ground truth,
+    any label sequence, not just the argmax path).
+
+    Runs the max-product version of the CTC recursion over the
+    blank-interleaved state sequence (blank, l1, blank, ..., lL, blank):
+    ``delta[t, s] = emit[t, s] + max(delta[t-1, s], delta[t-1, s-1],
+    delta[t-1, s-2] if skip allowed)`` — one ``lax.scan`` forward with
+    backpointers, one reversed scan to extract the state path, then
+    per-label segment reductions. All on-device, statically shaped.
+
+    Args:
+      y_pred: (B, T, C) post-softmax probabilities, blank = C-1 (same
+        contract as ``ctc_greedy_decode``).
+      input_length: (B,) valid frame counts.
+      labels: (B, L) dense int labels (values beyond ``label_length``
+        ignored).
+      label_length: (B,) valid label counts (may be 0: all pads).
+
+    Returns (starts, ends, confs, feasible):
+      starts/ends: (B, L) int32 first/last frame (inclusive) the Viterbi
+        path spends in each label's emitting state, -1 beyond
+        ``label_length`` (and everywhere when infeasible).
+      confs: (B, L) float32 peak probability of the label inside its span
+        (same convention as ``ctc_greedy_alignment``), 0 padded.
+      feasible: (B,) bool — False when no valid path exists (e.g.
+        ``input_length`` too short for the labels' required blanks), in
+        which case that row's spans are all -1.
+    """
+    B, T, C = y_pred.shape
+    L = labels.shape[1]
+    S = 2 * L + 1
+    blank = C - 1
+    y_pred = y_pred.astype(jnp.float32)
+    logp = jnp.log(y_pred + KERAS_EPSILON)
+    input_length = input_length.astype(jnp.int32).reshape(B)
+    label_length = label_length.astype(jnp.int32).reshape(B)
+    labels = jnp.clip(labels.astype(jnp.int32), 0, C - 1)
+
+    # Extended states: blank, l1, blank, l2, ..., blank.
+    ext = jnp.full((B, S), blank, jnp.int32)
+    ext = ext.at[:, 1::2].set(labels)
+    ext_m2 = jnp.concatenate(
+        [jnp.full((B, 2), -1, jnp.int32), ext[:, :-2]], axis=1
+    )
+    allow_skip = (ext != blank) & (ext != ext_m2)  # (B, S)
+    s_idx = jnp.arange(S)[None, :]
+    valid_s = s_idx < (2 * label_length[:, None] + 1)
+
+    emits = jnp.take_along_axis(
+        logp, ext[:, None, :].repeat(T, axis=1), axis=2
+    )  # (B, T, S)
+    emits_tmajor = jnp.transpose(emits, (1, 0, 2))  # (T, B, S)
+
+    init_mask = s_idx < jnp.where(label_length[:, None] > 0, 2, 1)
+    delta0 = jnp.where(init_mask & valid_s, emits_tmajor[0], _NEG_INF)
+
+    def fwd(delta, emit_and_t):
+        emit, t = emit_and_t
+        shift1 = jnp.concatenate(
+            [jnp.full((B, 1), _NEG_INF, delta.dtype), delta[:, :-1]], axis=1
+        )
+        shift2 = jnp.concatenate(
+            [jnp.full((B, 2), _NEG_INF, delta.dtype), delta[:, :-2]], axis=1
+        )
+        shift2 = jnp.where(allow_skip, shift2, _NEG_INF)
+        # Backpointer = how many states we stepped (0/1/2); ties prefer
+        # the smaller step (stay > diagonal > skip), a fixed deterministic
+        # rule matching the numpy reference in tests.
+        best = jnp.maximum(jnp.maximum(delta, shift1), shift2)
+        bp = jnp.where(
+            delta >= best, 0, jnp.where(shift1 >= best, 1, 2)
+        ).astype(jnp.int8)
+        new = jnp.where(valid_s, best + emit, _NEG_INF)
+        active = (t < input_length)[:, None]
+        new = jnp.where(active, new, delta)
+        bp = jnp.where(active, bp, jnp.int8(0))
+        return new, bp
+
+    ts = jnp.arange(1, T)
+    delta_T, bps = jax.lax.scan(fwd, delta0, (emits_tmajor[1:], ts))
+    # bps: (T-1, B, S) backpointers for transitions into frames 1..T-1.
+    bps = jnp.concatenate(
+        [jnp.zeros((1, B, S), jnp.int8), bps], axis=0
+    )  # frame 0 has no incoming transition
+
+    # End state: best of final blank (2*len) vs final label (2*len - 1).
+    idx_last = 2 * label_length
+    idx_prev = jnp.maximum(2 * label_length - 1, 0)
+    d_last = jnp.take_along_axis(delta_T, idx_last[:, None], axis=1)[:, 0]
+    d_prev = jnp.take_along_axis(delta_T, idx_prev[:, None], axis=1)[:, 0]
+    d_prev = jnp.where(label_length > 0, d_prev, _NEG_INF)
+    end_state = jnp.where(d_prev > d_last, idx_prev, idx_last)
+    feasible = jnp.maximum(d_last, d_prev) > _NEG_INF / 2
+
+    # Backtrace: reversed scan carrying the current state; at each frame t
+    # the carried state IS the path state (seeded at t = input_len - 1).
+    def back(cur, t):
+        cur = jnp.where(t == input_length - 1, end_state, cur)
+        step_back = jnp.take_along_axis(bps[t], cur[:, None], axis=1)[:, 0]
+        prev = jnp.where(t > 0, cur - step_back.astype(jnp.int32), cur)
+        return prev, cur
+
+    _, states_rev = jax.lax.scan(
+        back, end_state, jnp.arange(T - 1, -1, -1)
+    )
+    states = jnp.flip(states_rev.T, axis=1)  # (B, T) path state per frame
+
+    t_idx = jnp.arange(T)[None, :]
+    valid_t = t_idx < input_length[:, None]
+    # Map each frame to its label position: odd states s -> (s-1)//2,
+    # blanks / invalid frames -> dump slot L.
+    is_label = (states % 2 == 1) & valid_t & feasible[:, None]
+    pos = jnp.where(is_label, (states - 1) // 2, L)  # (B, T)
+
+    # Per-frame probability of the visited state's label (for confs).
+    p_state = jnp.take_along_axis(
+        y_pred,
+        jnp.take_along_axis(
+            ext, jnp.clip(states, 0, S - 1), axis=1
+        )[..., None],
+        axis=2,
+    )[..., 0]  # (B, T)
+
+    def per_row(pos_r, frames, p_r):
+        starts = -jax.ops.segment_max(
+            -frames, pos_r, num_segments=L + 1
+        )  # segment_min
+        ends = jax.ops.segment_max(frames, pos_r, num_segments=L + 1)
+        confs = jax.ops.segment_max(p_r, pos_r, num_segments=L + 1)
+        return starts[:L], ends[:L], confs[:L]
+
+    frames_b = jnp.broadcast_to(t_idx, (B, T))
+    starts, ends, confs = jax.vmap(per_row)(pos, frames_b, p_state)
+
+    # segment_max over an empty segment returns the dtype min; any label
+    # position with no frame (possible only when infeasible or beyond
+    # label_length) pads with -1/0.
+    has = jax.vmap(
+        lambda p: jax.ops.segment_sum(jnp.ones_like(p), p, num_segments=L + 1)[
+            :L
+        ]
+    )(pos) > 0
+    l_idx = jnp.arange(L)[None, :]
+    keep = has & (l_idx < label_length[:, None]) & feasible[:, None]
+    starts = jnp.where(keep, starts, -1).astype(jnp.int32)
+    ends = jnp.where(keep, ends, -1).astype(jnp.int32)
+    confs = jnp.where(keep, confs, 0.0).astype(jnp.float32)
+    return starts, ends, confs, feasible
+
+
 # ---------------------------------------------------------------------------
 # Beam-search decoding
 # ---------------------------------------------------------------------------

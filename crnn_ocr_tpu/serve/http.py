@@ -13,7 +13,8 @@ Endpoints:
     cv2 decodes) or a raw ``.npy`` grayscale array. Returns JSON
     ``{"text", "score", "candidates"?, "alignments"?}`` (``alignments`` —
     per-char ``{char, x0, x1, conf}`` pixel spans — when the daemon was
-    started with ``--alignments``; greedy mode only).
+    started with ``--alignments``; greedy localizes argmax runs, beam
+    force-aligns its decoded top path).
   * ``GET /healthz`` — liveness: ``{"ok": true}``.
   * ``GET /stats``   — batcher counters + latency percentiles.
 

@@ -46,3 +46,26 @@ def goldens():
 def pytest_collection_modifyitems(config, items):
     # Deterministic ordering keeps compile-cache reuse predictable.
     items.sort(key=lambda it: it.nodeid)
+
+
+def pytest_sessionstart(session):
+    # The smoke gate (CLAUDE.md) relies on .git/hooks/pre-commit, which is
+    # unversioned state and does NOT survive a fresh clone. Warn loudly so a
+    # new session installs it before committing anything.
+    import subprocess
+
+    try:
+        git_dir = subprocess.run(
+            ["git", "rev-parse", "--absolute-git-dir"],
+            capture_output=True, text=True, cwd=pathlib.Path(__file__).parent,
+        ).stdout.strip()
+    except OSError:
+        return
+    if git_dir and not (pathlib.Path(git_dir) / "hooks" / "pre-commit").exists():
+        import warnings
+
+        warnings.warn(
+            "smoke gate NOT enforced: .git/hooks/pre-commit is absent — "
+            "run 'make install-hooks'",
+            stacklevel=1,
+        )

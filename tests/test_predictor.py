@@ -142,6 +142,66 @@ def test_predict_with_alignment_consistent(saved_model):
             assert 0.0 < s.conf <= 1.0
 
 
+def test_predict_with_alignment_squeezed_image(saved_model):
+    """Images wider than the largest bucket get SQUEEZED into it
+    (preprocess_batch clamps w_new); spans must map back through the
+    effective per-image scale — in-bounds, ordered, disjoint, and with the
+    last span reaching no further than the true width (regression: the old
+    aspect-preserving scale compressed every span into the left
+    bucket*h/32 columns)."""
+    d, synth = saved_model
+    pred = init_predictor(d)
+    rng = np.random.default_rng(9)
+    # 700px at h32 -> w_need 700 > largest bucket 256 -> squeeze
+    img = (rng.random((32, 700)) * 255).astype(np.uint8)
+    out = pred.predict([img], greedy=True, alignments=True)
+    spans = out[0].spans
+    assert spans is not None
+    w = img.shape[1]
+    prev_end = 0
+    for s in spans:
+        assert 0 <= s.x0 < s.x1 <= w
+        assert s.x0 >= prev_end
+        prev_end = s.x1
+    # exact mapping check: the effective scale is ds * w / w_new with
+    # w_new clamped to the bucket (256), NOT the aspect-preserving h-ratio
+    from crnn_ocr_tpu.ops import ctc as ctc_ops
+
+    probs, il = pred.predict_probs([img], bucket=256)
+    labels, starts, ends, _ = map(
+        np.asarray, ctc_ops.ctc_greedy_alignment(probs, il)
+    )
+    scale = 4 * w / 256  # ds * w / w_new, w_new squeezed to the bucket
+    sl = pred.cfg.ctc_time_slice
+    for j, s in enumerate(spans):
+        assert labels[0, j] >= 0
+        assert s.x0 == min(int(np.floor((starts[0, j] + sl) * scale)), w - 1)
+        exp_x1 = int(np.floor((ends[0, j] + 1 + sl) * scale))
+        assert s.x1 == min(max(exp_x1, s.x0 + 1), w)
+
+
+def test_predict_beam_alignments_join_to_beam_text(saved_model):
+    """Beam mode force-aligns the decoded top path: span chars join to the
+    RETURNED beam text (not a separate greedy pass), spans ordered and
+    disjoint."""
+    d, synth = saved_model
+    pred = init_predictor(d)
+    rng = np.random.default_rng(12)
+    images, _ = synth.sample_batch(4, rng)
+    out = pred.predict(
+        images, greedy=False, beam_width=5, top_paths=1, alignments=True
+    )
+    for img, p in zip(images, out):
+        assert p.spans is not None
+        assert "".join(s.char for s in p.spans) == p.text
+        prev_end = 0
+        for s in p.spans:
+            assert 0 <= s.x0 < s.x1 <= img.shape[1]
+            assert s.x0 >= prev_end
+            prev_end = s.x1
+            assert 0.0 < s.conf <= 1.0
+
+
 def test_stn_predictor_single_native_bucket(saved_model):
     """An STN model's loc-Dense is width-bound (C5): the predictor must
     route every request to the training bucket, narrow or wide."""

@@ -101,13 +101,20 @@ def test_load_pretrained_fonts_hard():
     ))
     rng = np.random.default_rng(99)
     images, texts = [], []
-    while len(images) < 48:
+    for attempt in range(20 * 48):
+        if len(images) >= 48:
+            break
         imgs, txts = synth.sample_batch(48 - len(images), rng)
         for img, t in zip(imgs, txts):
             h, w = img.shape[:2]
             if round(w * 32 / h) <= 256:
                 images.append(img)
                 texts.append(t)
+    else:
+        raise RuntimeError(
+            f"only {len(images)}/48 samples fit bucket 256 — FontConfig "
+            "renders lines too wide for this test's bucket"
+        )
     got = pred.predict_text(images, bucket=256)
     c = cer(got, texts)
     assert c < 0.15, (c, list(zip(got, texts))[:4])

@@ -311,3 +311,35 @@ def test_http_alignments_mode(predictor):
                 assert 0.0 < s["conf"] <= 1.0
     finally:
         srv.stop()
+
+
+def test_http_beam_alignments_mode(predictor):
+    """Beam daemon with alignments: spans force-align the decoded top path,
+    so the joined chars equal the BEAM text returned to the caller."""
+    pred, synth = predictor
+    rng = np.random.default_rng(17)
+    images, _ = synth.sample_batch(2, rng)
+    srv = OCRServer(
+        pred, host="127.0.0.1", port=0, max_batch=4, max_wait_ms=10.0,
+        decode_kw={
+            "greedy": False, "beam_width": 4, "top_paths": 1,
+            "merge_repeated": True, "alignments": True,
+        },
+    ).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        for img in images:
+            buf = io.BytesIO()
+            np.save(buf, img)
+            status, body = _post(base + "/predict", buf.getvalue())
+            assert status == 200
+            assert "alignments" in body
+            spans = body["alignments"]
+            assert "".join(s["char"] for s in spans) == body["text"]
+            prev = 0
+            for s in spans:
+                assert 0 <= s["x0"] < s["x1"] <= img.shape[1]
+                assert s["x0"] >= prev
+                prev = s["x1"]
+    finally:
+        srv.stop()

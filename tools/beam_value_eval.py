@@ -80,7 +80,17 @@ def main() -> int:
         bucket (same filter tools/make_font_corpus.py --max_w_new applies,
         so the eval distribution matches a width-capped training corpus)."""
         images, texts = [], []
+        attempts = 0
         while len(images) < n:
+            attempts += 1
+            if attempts > 20 * n:
+                raise RuntimeError(
+                    f"sample_fitting: {attempts} batches produced only "
+                    f"{len(images)}/{n} samples fitting bucket {bucket} — "
+                    f"the FontConfig ({min_words}-{max_words} words) renders "
+                    "lines too wide for BEAM_EVAL_BUCKET; raise the bucket "
+                    "or lower max_words"
+                )
             imgs, txts = synth.sample_batch(n - len(images), rng)
             for img, t in zip(imgs, txts):
                 h, w = img.shape[:2]
