@@ -35,10 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exact_tf_beam", action="store_true",
                    help="bit-exact TF beam semantics (host decoder)")
     p.add_argument("--beam_no_merge", action="store_true",
-                   help="standard CTC beam output (TF2 semantics): do NOT "
-                        "merge repeated labels across blanks. Default "
-                        "matches K.ctc_decode (TF-V1 merge_repeated=True), "
-                        "which collapses double letters ('door'->'dor')")
+                   help="force standard CTC beam output (TF2 semantics): "
+                        "do NOT merge repeated labels across blanks")
+    p.add_argument("--beam_merge", action="store_true",
+                   help="force K.ctc_decode parity (TF-V1 "
+                        "merge_repeated=True — collapses double letters "
+                        "'door'->'dor'). With neither flag the default is "
+                        "keyed on model provenance: parity for migrated "
+                        "Keras artifacts, standard CTC for own-trained "
+                        "checkpoints (the V1 merge corrupts accuracy on "
+                        "those — see BASELINE.md)")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--no-norm", dest="norm", action="store_false")
     p.add_argument("--n_devices", type=int, default=1,
@@ -121,7 +127,11 @@ def main(argv=None) -> int:
         greedy=args.greedy,
         beam_width=args.beam_width,
         top_paths=args.top_paths,
-        merge_repeated=not args.beam_no_merge,
+        merge_repeated=(
+            False if args.beam_no_merge
+            else True if args.beam_merge
+            else None  # provenance-keyed default (Predictor)
+        ),
         exact_tf=args.exact_tf_beam,
         timing=args.timing,
         # spans ride along on the same forward pass in both modes (beam

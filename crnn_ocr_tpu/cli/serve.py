@@ -38,10 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "into one compiled device program")
     p.add_argument("--top_paths", type=int, default=1)
     p.add_argument("--beam_no_merge", action="store_true",
-                   help="standard CTC beam output (TF2 semantics): keep "
-                        "repeated labels across blanks. Default matches "
-                        "K.ctc_decode (TF-V1 merge_repeated=True), which "
-                        "collapses double letters ('door'->'dor')")
+                   help="force standard CTC beam output (TF2 semantics): "
+                        "keep repeated labels across blanks")
+    p.add_argument("--beam_merge", action="store_true",
+                   help="force K.ctc_decode parity (TF-V1 merge, collapses "
+                        "double letters). With neither flag the default is "
+                        "provenance-keyed: parity for migrated Keras "
+                        "artifacts, standard CTC for own-trained models")
     p.add_argument("--alignments", action="store_true",
                    help="include per-character pixel spans + confidences "
                         "in each /predict response; beam mode force-aligns "
@@ -72,10 +75,15 @@ def main(argv=None) -> int:
         print(e, file=sys.stderr)
         return 2
 
+    merge = (
+        False if args.beam_no_merge
+        else True if args.beam_merge
+        else predictor.default_merge_repeated  # provenance-keyed
+    )
     decode_kw = (
         {"greedy": False, "beam_width": args.beam_width,
          "top_paths": args.top_paths,
-         "merge_repeated": not args.beam_no_merge,
+         "merge_repeated": merge,
          "alignments": args.alignments}
         if args.beam_width > 0
         else {"greedy": True, "alignments": args.alignments}
@@ -101,7 +109,7 @@ def main(argv=None) -> int:
         "greedy" + ("+align" if args.alignments else "")
     ) if decode_kw.get("greedy") else (
         f"beam{args.beam_width}"
-        + ("-nomerge" if args.beam_no_merge else "")
+        + ("-merge" if merge else "-nomerge")
         + ("+align" if args.alignments else "")
     )
     print(

@@ -61,8 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "--pack_cache; combine with --steps_per_call). "
                         "Batch stream is identical to the host path")
     p.add_argument("--device_cache_max_gb", type=float, default=8.0,
-                   help="refuse --device_cache above this HBM budget "
-                        "(streaming --pack_cache handles bigger corpora)")
+                   help="HBM budget for --device_cache; corpora over it "
+                        "run PARTIALLY resident (overflow pixel rows "
+                        "stream per dispatch from the packed shards — "
+                        "throughput degrades linearly with the overflow "
+                        "fraction, not off a cliff)")
     # model
     p.add_argument("--n_units", type=int, default=256)
     p.add_argument("--time_dense_size", type=int, default=128)
@@ -320,9 +323,13 @@ def main(argv=None) -> int:
             max_bytes=int(args.device_cache_max_gb * (1 << 30)),
             mesh=mesh,
         )
+        mode = (
+            f"partial residency {device_corpus.resident_fraction:.0%}"
+            if device_corpus.partial else "fully resident"
+        )
         print(
             f"[crnn_ocr_tpu] device cache: "
-            f"{device_corpus.total_bytes / 1e6:.1f} MB resident in HBM "
+            f"{device_corpus.total_bytes / 1e6:.1f} MB, {mode} in HBM "
             f"({len(reader.samples)} images)",
             file=sys.stderr,
         )

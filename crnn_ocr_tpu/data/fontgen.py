@@ -83,6 +83,14 @@ class FontConfig:
     blur: float = 0.0  # Gaussian blur radius, sampled U[0, blur]
     contrast_min: float = 1.0  # ink/paper span factor, sampled U[min, 1]
     downscale_min: float = 1.0  # resolution loss: render -> xS down -> up
+    # render-time GEOMETRIC distortion (deliberately distinct from the
+    # model-side --augment warp, which both arms of an STN A/B would see):
+    # the line is photographed off-axis, the way the reference's
+    # license-plate crops are (SURVEY C5 / BASELINE config 3). Applied
+    # before the photometric degradations, like a real camera pipeline.
+    warp_shear: float = 0.0  # max |horizontal shear| (dx per unit y)
+    warp_rotate: float = 0.0  # max |rotation| in degrees
+    warp_perspective: float = 0.0  # max corner jitter, fraction of height
     seed: int = 0
 
 
@@ -117,6 +125,56 @@ class FontTextlines:
             text = text.capitalize() if rng.random() < 0.7 else text.upper()
         return "".join(ch for ch in text if ch in self.codec.classes) or "a"
 
+    def _warp(self, img, rng: np.random.Generator):
+        """Random shear + rotation + perspective of the rendered line.
+
+        Picks a destination quadrilateral for the image corners, sizes the
+        output canvas to its exact bounding box (no clipping, white fill),
+        and resamples through the inverse homography
+        (``PIL.Image.transform(PERSPECTIVE)`` maps output->input)."""
+        import math
+
+        from PIL import Image
+
+        c = self.cfg
+        w0, h0 = img.size
+        src = np.array(
+            [[0, 0], [w0, 0], [w0, h0], [0, h0]], dtype=np.float64
+        )
+        dst = src.copy()
+        if c.warp_shear > 0.0:
+            s = float(rng.uniform(-c.warp_shear, c.warp_shear))
+            dst[:, 0] += s * (h0 - dst[:, 1])  # top edge slides, bottom fixed
+        if c.warp_rotate > 0.0:
+            th = math.radians(float(rng.uniform(-c.warp_rotate, c.warp_rotate)))
+            ctr = dst.mean(axis=0)
+            rot = np.array(
+                [[math.cos(th), -math.sin(th)], [math.sin(th), math.cos(th)]]
+            )
+            dst = (dst - ctr) @ rot.T + ctr
+        if c.warp_perspective > 0.0:
+            dst += rng.uniform(
+                -c.warp_perspective * h0, c.warp_perspective * h0, (4, 2)
+            )
+        lo = dst.min(axis=0)
+        dst -= lo
+        out_w = max(4, int(math.ceil(dst[:, 0].max())))
+        out_h = max(4, int(math.ceil(dst[:, 1].max())))
+        # homography coefficients mapping output (dst) -> input (src)
+        A, b = [], []
+        for (X, Y), (x, y) in zip(dst, src):
+            A.append([X, Y, 1, 0, 0, 0, -x * X, -x * Y])
+            A.append([0, 0, 0, X, Y, 1, -y * X, -y * Y])
+            b += [x, y]
+        coeffs = np.linalg.solve(np.array(A), np.array(b))
+        return img.transform(
+            (out_w, out_h),
+            Image.PERSPECTIVE,
+            tuple(coeffs),
+            resample=Image.BILINEAR,
+            fillcolor=255,
+        )
+
     def render(self, text: str, rng: np.random.Generator) -> np.ndarray:
         from PIL import Image, ImageDraw
 
@@ -132,6 +190,8 @@ class FontTextlines:
         ImageDraw.Draw(img).text(
             (pad_x - bbox[0], pad_y - bbox[1]), text, font=font, fill=0
         )
+        if c.warp_shear > 0.0 or c.warp_rotate > 0.0 or c.warp_perspective > 0.0:
+            img = self._warp(img, rng)
         if c.downscale_min < 1.0:
             s = float(rng.uniform(c.downscale_min, 1.0))
             w0, h0 = img.size

@@ -169,6 +169,7 @@ def model_config_from_keras_json(
         rnn_layers=rnn_layers,
         rnn_cell=rnn_cell,
         use_stn=use_stn,
+        provenance="keras_migrated",
     )
     return mc, name_map
 
@@ -311,6 +312,7 @@ def infer_name_map_from_h5(path: str):
         rnn_layers=rnn_layers,
         rnn_cell=rnn_cell,
         use_stn=use_stn,
+        provenance="keras_migrated",
     )
     return mc, name_map
 

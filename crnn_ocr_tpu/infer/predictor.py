@@ -178,13 +178,22 @@ class Predictor:
         )
         return probs[:n_req], input_len[:n_req]
 
+    @property
+    def default_merge_repeated(self) -> bool:
+        """Provenance-keyed beam extraction default: migrated Keras
+        artifacts keep ``K.ctc_decode`` parity (TF-V1 merge, collapses
+        double letters); own-trained models get standard CTC (no merge) —
+        the V1 merge measurably corrupts accuracy on them
+        (benchmarks/beam_value_eval_fonts_hard.json: WER 0.348 vs 0.166)."""
+        return self.cfg.provenance == "keras_migrated"
+
     def predict(
         self,
         images: Sequence[np.ndarray],
         greedy: bool = True,
         beam_width: int = 10,
         top_paths: int = 1,
-        merge_repeated: bool = True,
+        merge_repeated: Optional[bool] = None,
         exact_tf: bool = False,
         timing: bool = False,
         bucket: Optional[int] = None,
@@ -192,7 +201,10 @@ class Predictor:
     ) -> List[Prediction]:
         """``merge_repeated`` (beam only): True = Keras/TF-V1 parity
         (repeated output labels merge even across blanks — collapses
-        double letters); False = standard CTC beam (TF2 semantics).
+        double letters); False = standard CTC beam (TF2 semantics);
+        None (default) = keyed on model provenance
+        (:attr:`default_merge_repeated` — parity for migrated Keras
+        artifacts, standard CTC for own-trained checkpoints).
         Scores are identical either way; see ops/ctc.py::ctc_decode.
 
         ``alignments=True`` additionally fills each ``Prediction.spans``
@@ -201,6 +213,8 @@ class Predictor:
         (``ops.ctc.ctc_greedy_alignment``); beam mode force-aligns the
         decoded top path (``ops.ctc.ctc_forced_alignment``, constrained
         Viterbi) so the spans always describe the RETURNED text."""
+        if merge_repeated is None:
+            merge_repeated = self.default_merge_repeated
         t0 = time.perf_counter()
         bucket = self.resolve_bucket(images, bucket)
         probs, input_len = self.predict_probs(images, bucket=bucket)

@@ -68,6 +68,16 @@ class ModelConfig:
     # additionally requires bf16 compute, train additionally non-STN).
     # Runtime knob — params are identical either way.
     use_fused_stem: "bool | None" = None
+    # Model provenance: "native" (trained by this framework) or
+    # "keras_migrated" (imported reference .h5 artifact). Keys the DEFAULT
+    # beam extraction semantics in the Predictor: migrated models keep
+    # K.ctc_decode parity (TF-V1 merge_repeated=True, which collapses
+    # double letters); native models default to standard CTC
+    # (merge_repeated=False) — the V1 merge measurably corrupts accuracy
+    # on own-trained models (fonts-hard: WER 0.348 vs 0.166,
+    # benchmarks/beam_value_eval_fonts_hard.json). An explicit
+    # merge_repeated argument always overrides.
+    provenance: str = "native"
 
     @property
     def logits_dim(self) -> int:

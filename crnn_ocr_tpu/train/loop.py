@@ -95,6 +95,20 @@ def fit(
         if cfg.device_corpus is not None
         else None
     )
+    partial_cached_step = (
+        step_lib.make_partial_cached_multi_train_step(
+            model_cfg,
+            exact_keras=cfg.exact_keras_loss,
+            mesh=cfg.mesh,
+            width_downsample=model_cfg.width_downsample,
+            normalize=cfg.normalize,
+            augment=cfg.augment,
+            augment_seed=cfg.augment_seed,
+        )
+        if cfg.device_corpus is not None
+        and getattr(cfg.device_corpus, "partial", False)
+        else None
+    )
     eval_step = step_lib.make_eval_step(model_cfg)
     rng = jax.random.key(cfg.seed)
 
@@ -185,7 +199,7 @@ def fit(
             batch = dict(batch)
             batch["stacked"] = k_steps
             for key in ("the_input", "heights", "widths", "the_labels",
-                        "label_length", "batch_index", "rows"):
+                        "label_length", "batch_index", "rows", "pix_rows"):
                 if key in batch and hasattr(batch[key], "shape"):
                     batch[key] = batch[key][:k_steps]
         prev_gstep, gstep = gstep, gstep + k_steps
@@ -206,13 +220,26 @@ def fit(
                 )
             arrs = cfg.device_corpus.arrays(bucket)
             with timer:
-                state, ms = cached_step(
-                    state,
-                    arrs["pixels"], arrs["widths"],
-                    arrs["labels"], arrs["lab_len"],
-                    rows, batch["batch_index"], rng,
-                    bucket=bucket,
-                )
+                if "miss_pixels" in batch:
+                    # partial residency: overflow pixels stream with the
+                    # dispatch; everything else gathers from HBM
+                    state, ms = partial_cached_step(
+                        state,
+                        arrs["pixels"], arrs["widths"],
+                        arrs["labels"], arrs["lab_len"],
+                        batch["miss_pixels"],
+                        rows, batch["pix_rows"],
+                        batch["batch_index"], rng,
+                        bucket=bucket,
+                    )
+                else:
+                    state, ms = cached_step(
+                        state,
+                        arrs["pixels"], arrs["widths"],
+                        arrs["labels"], arrs["lab_len"],
+                        rows, batch["batch_index"], rng,
+                        bucket=bucket,
+                    )
             m = {k: v[-1] for k, v in ms.items()}  # last inner step's
         elif stacked_k:
             texts = batch.pop("texts", None)

@@ -440,6 +440,115 @@ def make_cached_multi_train_step(
     )
 
 
+def make_partial_cached_multi_train_step(
+    model_cfg: ModelConfig,
+    exact_keras: bool = False,
+    donate: bool = True,
+    use_pallas_ctc: "bool | None" = None,
+    mesh=None,
+    pallas_interpret: bool = False,
+    width_downsample: int = 4,
+    normalize: bool = True,
+    augment: bool = False,
+    augment_seed: int = 0,
+    unroll: int = 1,
+):
+    """K train steps per dispatch over a PARTIALLY-resident corpus
+    (``DeviceResidentCorpus`` with ``partial=True`` — pixels overflow the
+    HBM budget; VERDICT r4 weak #4).
+
+    Same contract as :func:`make_cached_multi_train_step` plus two inputs:
+    ``miss_pixels (M, H, W) uint8`` — the dispatch's streamed overflow
+    rows — and ``pix_rows (K, B) int32`` encoding each sample's pixel
+    source (``>= 0``: resident HBM row; ``< 0``: miss slot ``-(i+1)``).
+    The batch assembles as a dual gather + select on device; widths/
+    labels/lab_len still gather by the ORIGINAL row from the always-
+    resident tables, so the batch bytes are identical to full residency
+    (bitwise parity pinned by tests/test_device_cache.py)."""
+    if use_pallas_ctc is None:
+        use_pallas_ctc = jax.default_backend() in ("tpu", "axon")
+    core = _train_step_fn(
+        model_cfg, exact_keras, use_pallas_ctc, mesh, pallas_interpret
+    )
+    from crnn_ocr_tpu.ops.preprocess import preprocess_resident
+
+    if augment:
+        from crnn_ocr_tpu.ops.augment import augment_batch
+
+    def cached_step(
+        state: TrainState,
+        pixels: jnp.ndarray,
+        widths: jnp.ndarray,
+        labels: jnp.ndarray,
+        lab_len: jnp.ndarray,
+        miss_pixels: jnp.ndarray,
+        rows: jnp.ndarray,
+        pix_rows: jnp.ndarray,
+        batch_index: jnp.ndarray,
+        rng: jax.Array,
+        bucket: int,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        T = bucket // width_downsample
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def shard_b(a):
+                spec = P(*(("data",) + (None,) * (a.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    a, NamedSharding(mesh, spec)
+                )
+        else:
+            def shard_b(a):
+                return a
+
+        def body(st, sl):
+            r = sl["rows"]
+            pr = sl["pix_rows"]
+            is_miss = pr < 0
+            img = jnp.where(
+                is_miss[:, None, None],
+                jnp.take(miss_pixels, jnp.where(is_miss, -pr - 1, 0), axis=0),
+                jnp.take(pixels, jnp.where(is_miss, 0, pr), axis=0),
+            )
+            img = shard_b(img)
+            w = shard_b(jnp.take(widths, r, axis=0))
+            x, w_new = preprocess_resident(img, w, normalize=normalize)
+            if augment:
+                x = augment_batch(
+                    x,
+                    jax.random.fold_in(
+                        jax.random.key(augment_seed), sl["batch_index"]
+                    ),
+                )
+            il = jnp.minimum(w_new // width_downsample, T)
+            il = jnp.maximum(il - model_cfg.ctc_time_slice, 1)
+            batch = {
+                "x": x,
+                "input_length": il.astype(jnp.int32),
+                "the_labels": shard_b(jnp.take(labels, r, axis=0)),
+                "label_length": shard_b(jnp.take(lab_len, r, axis=0)),
+            }
+            return core(st, batch, rng)
+
+        return jax.lax.scan(
+            body,
+            state,
+            {
+                "rows": rows,
+                "pix_rows": pix_rows,
+                "batch_index": batch_index,
+            },
+            unroll=unroll,
+        )
+
+    return jax.jit(
+        cached_step,
+        static_argnames=("bucket",),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def optax_global_norm(tree: Any) -> jnp.ndarray:
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))

@@ -355,3 +355,38 @@ def test_fontgen_degradations_deterministic_and_bounded():
         spans_c.append(int(img_c.max()) - int(img_c.min()))
         spans_d.append(int(img_d.max()) - int(img_d.min()))
     assert np.mean(spans_d) < np.mean(spans_c)
+
+
+def test_fontgen_render_time_warp():
+    """warp_shear / warp_rotate / warp_perspective (the STN A/B corpus
+    knobs): deterministic given the rng state, ink preserved (exact-bbox
+    canvas, no clipping), geometry measurably changed vs the plain render,
+    and zero knobs leave the plain path bit-identical."""
+    from crnn_ocr_tpu.data import FontConfig, FontTextlines
+
+    plain = FontTextlines(FontConfig(noise=0.0))
+    warp = FontTextlines(FontConfig(
+        noise=0.0, warp_shear=0.5, warp_rotate=2.0, warp_perspective=0.12,
+    ))
+    a = warp.render("Warped", np.random.default_rng(5))
+    b = warp.render("Warped", np.random.default_rng(5))
+    np.testing.assert_array_equal(a, b)
+    assert a.dtype == np.uint8
+
+    changed = 0
+    for s in range(8):
+        p = plain.render("geometry", np.random.default_rng(s))
+        w = warp.render("geometry", np.random.default_rng(s))
+        # ink is preserved within resampling blur (no corner clipping)
+        assert (w < 128).sum() > 0.5 * (p < 128).sum()
+        if w.shape != p.shape or not np.array_equal(w, p):
+            changed += 1
+    assert changed == 8  # strong knobs must actually distort
+
+    # zero knobs -> the added code path is inert
+    off = FontTextlines(FontConfig(noise=0.0))
+    for s in range(3):
+        np.testing.assert_array_equal(
+            plain.render("inert", np.random.default_rng(s)),
+            off.render("inert", np.random.default_rng(s)),
+        )

@@ -155,9 +155,115 @@ def test_stacked_index_batches_shape_and_indices(corpus_dir):
 
 
 def test_hbm_budget_guard(corpus_dir):
+    """Budgets below even the label/width tables still refuse; budgets that
+    fit the tables but not all pixels now run PARTIALLY resident instead of
+    refusing (round 5, VERDICT r4 weak #4)."""
     r = _reader(corpus_dir)
-    with pytest.raises(ValueError, match="HBM"):
-        DeviceResidentCorpus(r, max_bytes=1024)
+    with pytest.raises(ValueError, match="partial residency"):
+        DeviceResidentCorpus(r, max_bytes=100)
+    r2 = _reader(corpus_dir)
+    c = DeviceResidentCorpus(r2, max_bytes=30_000)  # tables fit, pixels don't
+    assert c.partial and 0.0 < c.resident_fraction < 1.0
+    for b, n_res in c._n_resident.items():
+        assert 1 <= n_res < c._mm[b].shape[0] or c._mm[b].shape[0] == 1
+        # resident slice is a prefix of the shard
+        assert np.asarray(c.arrays(b)["pixels"]).shape[0] == n_res
+
+
+def test_partial_residency_stream_and_payload_identity(corpus_dir):
+    """Partial-residency stacks carry the SAME rows/batch_index stream as
+    full residency; the miss payload holds exactly the overflow rows'
+    packed pixels, and pix_rows encodes a consistent resident/miss split."""
+    r_full = _reader(corpus_dir)
+    full = DeviceResidentCorpus(r_full)
+    r_part = _reader(corpus_dir)
+    budget = int(
+        sum(n * 40 for n in (24,))  # tables: 24 rows * (4*8+8) bytes
+        + 0.5 * sum(
+            mm.shape[0] * mm.shape[1] * mm.shape[2]
+            for mm in full._mm.values()
+        )
+    )
+    part = DeviceResidentCorpus(r_part, max_bytes=budget)
+    assert part.partial
+
+    full_stacks = list(full.stacked_index_batches(2, epochs=1))
+    part_stacks = list(part.stacked_index_batches(2, epochs=1))
+    assert len(full_stacks) == len(part_stacks)
+    saw_miss = False
+    for f, p in zip(full_stacks, part_stacks):
+        assert f["bucket"] == p["bucket"]
+        np.testing.assert_array_equal(f["rows"], p["rows"])
+        np.testing.assert_array_equal(f["batch_index"], p["batch_index"])
+        n_res = part._n_resident[p["bucket"]]
+        res_px = np.asarray(part.arrays(p["bucket"])["pixels"])
+        full_px = np.asarray(full.arrays(f["bucket"])["pixels"])
+        pr = p["pix_rows"]
+        for k in range(pr.shape[0]):
+            for j in range(pr.shape[1]):
+                row = int(p["rows"][k, j])
+                if pr[k, j] >= 0:
+                    assert row < n_res
+                    np.testing.assert_array_equal(
+                        res_px[pr[k, j]], full_px[row]
+                    )
+                else:
+                    saw_miss = True
+                    assert row >= n_res
+                    slot = -int(pr[k, j]) - 1
+                    np.testing.assert_array_equal(
+                        p["miss_pixels"][slot], full_px[row]
+                    )
+    assert saw_miss  # the forced budget must actually overflow
+
+
+def test_partial_residency_train_parity_bitwise(corpus_dir):
+    """2 stacked train steps through the partial-residency step (dual
+    gather + select) == the full-residency step, params BITWISE equal —
+    same bytes, same math, only the transport differs."""
+    from crnn_ocr_tpu.train.step import make_partial_cached_multi_train_step
+
+    r_full = _reader(corpus_dir, buckets=(128,))
+    full = DeviceResidentCorpus(r_full)
+    r_part = _reader(corpus_dir, buckets=(128,))
+    budget = int(960 + 0.5 * full._mm[128].nbytes)
+    part = DeviceResidentCorpus(r_part, max_bytes=budget)
+    assert part.partial
+
+    cfg = ModelConfig(
+        num_classes=r_full.codec.num_classes, width=128, stem_filters=8,
+        block_filters=(8, 8, 12, 12), time_dense_size=8, n_units=8,
+        rnn_layers=1, dropout_rate=0.1,
+    )
+    rng = jax.random.key(2)
+    f_stack = next(iter(full.stacked_index_batches(2, epochs=1)))
+    p_stack = next(iter(part.stacked_index_batches(2, epochs=1)))
+
+    arrs_f = full.arrays(128)
+    s_f = create_train_state(cfg, jax.random.key(0), batch_size=4)
+    step_f = make_cached_multi_train_step(cfg, donate=False)
+    s_f, ms_f = step_f(
+        s_f, arrs_f["pixels"], arrs_f["widths"], arrs_f["labels"],
+        arrs_f["lab_len"], f_stack["rows"], f_stack["batch_index"], rng,
+        bucket=128,
+    )
+
+    arrs_p = part.arrays(128)
+    s_p = create_train_state(cfg, jax.random.key(0), batch_size=4)
+    step_p = make_partial_cached_multi_train_step(cfg, donate=False)
+    s_p, ms_p = step_p(
+        s_p, arrs_p["pixels"], arrs_p["widths"], arrs_p["labels"],
+        arrs_p["lab_len"], p_stack["miss_pixels"], p_stack["rows"],
+        p_stack["pix_rows"], p_stack["batch_index"], rng, bucket=128,
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(ms_p["loss"]), np.asarray(ms_f["loss"])
+    )
+    for a, b in zip(
+        jax.tree.leaves(s_f.params), jax.tree.leaves(s_p.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_requires_pack_cache(corpus_dir):

@@ -175,6 +175,9 @@ def test_reference_artifact_migration_zero_config(variant):
     assert cfg.num_classes == 12 and cfg.rnn_cell == "gru"
     assert cfg.use_stn == variant.endswith("stn")
     assert codec is not None and codec.num_classes == 12
+    # migrated artifacts are stamped: keys the Predictor's default beam
+    # extraction semantics (K.ctc_decode parity for THESE models only)
+    assert cfg.provenance == "keras_migrated"
 
     data = np.load(mig / "io.npz")
     x, y_keras = data["x"], data["y"]

@@ -202,6 +202,45 @@ def test_predict_beam_alignments_join_to_beam_text(saved_model):
             assert 0.0 < s.conf <= 1.0
 
 
+def test_beam_merge_default_keyed_on_provenance(saved_model):
+    """Native (own-trained) models default to standard CTC beam extraction
+    (merge_repeated=False); migrated Keras artifacts keep K.ctc_decode
+    parity (True). Explicit merge_repeated always overrides; the decode
+    path resolves None to the provenance default."""
+    import dataclasses
+
+    d, synth = saved_model
+    pred = init_predictor(d)
+    assert pred.cfg.provenance == "native"
+    assert pred.default_merge_repeated is False
+
+    mig_cfg = dataclasses.replace(pred.cfg, provenance="keras_migrated")
+    pred_mig = Predictor(
+        mig_cfg, pred._vars["params"], pred._vars["batch_stats"], synth.codec
+    )
+    assert pred_mig.default_merge_repeated is True
+
+    # behavioral resolution: a posterior with a blank-separated double
+    # letter decodes differently under the two defaults
+    from crnn_ocr_tpu.infer.predictor import decode_predict_ctc
+    from crnn_ocr_tpu.ops import ctc
+
+    C = synth.codec.num_classes + 1
+    y = np.full((1, 5, C), 1e-4, np.float32)
+    y[0, 0, 0] = 0.9   # label 0
+    y[0, 1, C - 1] = 0.9  # blank
+    y[0, 2, 0] = 0.9   # label 0 again -> "00" unmerged, "0" merged
+    y[0, 3, C - 1] = 0.9
+    y[0, 4, C - 1] = 0.9
+    il = np.array([5], np.int32)
+    dec_m, _ = ctc.ctc_decode(y, il, greedy=False, beam_width=4,
+                              merge_repeated=True)
+    dec_u, _ = ctc.ctc_decode(y, il, greedy=False, beam_width=4,
+                              merge_repeated=False)
+    assert ctc.trim_dense(dec_m[0])[0] == [0]
+    assert ctc.trim_dense(dec_u[0])[0] == [0, 0]
+
+
 def test_stn_predictor_single_native_bucket(saved_model):
     """An STN model's loc-Dense is width-bound (C5): the predictor must
     route every request to the training bucket, narrow or wide."""

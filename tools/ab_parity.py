@@ -16,7 +16,12 @@ the CURRENT backend and reports decode agreement + probability deltas:
 For the `prod` pair the TF-exact beam-10 decode agreement is also checked.
 Writes benchmarks/ab_parity.json (committed artifact) and prints a summary.
 
-Run on the TPU:  python tools/ab_parity.py
+Run on the TPU:  python tools/ab_parity.py --assert
+    (recurring numerics gate, VERDICT r4 weak #7: exits nonzero unless
+    every pair meets the thresholds below — greedy agreement >= 0.99,
+    f32 Pallas RNN bit-identical, bounded max dprob, equal-or-better
+    ground-truth accuracy within 2 lines. Re-run each round before the
+    snapshot; see CLAUDE.md.)
 """
 
 from __future__ import annotations
@@ -169,6 +174,52 @@ def main() -> int:
     with open(path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload, indent=1))
+
+    if "--assert" in sys.argv:
+        failures = []
+
+        def check(cond, msg):
+            if not cond:
+                failures.append(msg)
+
+        r = results
+        check(
+            r["rnn_scan_vs_pallas_f32"]["max_abs_dprob"] == 0.0,
+            "Pallas RNN no longer bit-identical to XLA scan at f32: "
+            f"max dprob {r['rnn_scan_vs_pallas_f32']['max_abs_dprob']}",
+        )
+        for pair in ("rnn_scan_vs_pallas_f32", "dtype_f32_vs_bf16",
+                     "stem_xla_vs_fused_bf16", "prod_vs_f32_baseline"):
+            check(
+                r[pair]["greedy_agree_frac"] >= 0.99,
+                f"{pair}: greedy agreement "
+                f"{r[pair]['greedy_decode_agree']} < 0.99",
+            )
+            check(
+                r[pair]["max_abs_dprob"] <= 0.35,
+                f"{pair}: max dprob {r[pair]['max_abs_dprob']:.3f} > 0.35",
+            )
+        check(
+            r["prod_beam10_vs_f32_baseline"]["beam10_agree_frac"] >= 0.99,
+            "prod beam-10 agreement "
+            f"{r['prod_beam10_vs_f32_baseline']['beam10_decode_agree']} "
+            "< 0.99",
+        )
+        acc = r["ground_truth_acc"]
+        check(
+            acc["prod"] >= acc["f32_xla"] - 2.0 / B,
+            f"prod ground-truth acc {acc['prod']:.4f} below f32 baseline "
+            f"{acc['f32_xla']:.4f} by more than 2 lines",
+        )
+        if failures:
+            print("[ab_parity] ASSERT FAILED:", file=sys.stderr)
+            for m in failures:
+                print(f"  - {m}", file=sys.stderr)
+            return 1
+        print(
+            "[ab_parity] ASSERT OK: all fast-path parity thresholds hold",
+            file=sys.stderr,
+        )
     return 0
 
 

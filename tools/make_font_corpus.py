@@ -42,6 +42,14 @@ def main(argv=None) -> int:
                    help="min ink/paper contrast factor (sampled U[min, 1])")
     p.add_argument("--downscale_min", type=float, default=1.0,
                    help="min resolution-loss scale (render->down->up)")
+    p.add_argument("--warp_shear", type=float, default=0.0,
+                   help="max |horizontal shear| (render-time geometric "
+                        "distortion, the STN A/B corpus knob)")
+    p.add_argument("--warp_rotate", type=float, default=0.0,
+                   help="max |rotation| in degrees (render-time)")
+    p.add_argument("--warp_perspective", type=float, default=0.0,
+                   help="max corner jitter as a fraction of line height "
+                        "(render-time perspective)")
     p.add_argument("--max_w_new", type=int, default=0,
                    help="skip images whose height-32-normalized width "
                         "exceeds this (0 = keep all); e.g. 128 yields a "
@@ -58,6 +66,8 @@ def main(argv=None) -> int:
         noise=args.noise, min_size=args.min_size, max_size=args.max_size,
         blur=args.blur, contrast_min=args.contrast_min,
         downscale_min=args.downscale_min,
+        warp_shear=args.warp_shear, warp_rotate=args.warp_rotate,
+        warp_perspective=args.warp_perspective,
     ))
     img_dir = os.path.join(args.out, "images")
     os.makedirs(img_dir, exist_ok=True)
