@@ -68,14 +68,19 @@ def run_train(path: str, save: str, steps: int, pack: bool,
             r = json.loads(line)
             if r.get("kind") == "train":
                 recs.append(r)
-    # sustained window: from the first record past the warmup step to the
-    # last. lines_per_sec in the log is cumulative (lines_seen / wall), so
-    # recover absolute counters and difference the window.
-    warm = [r for r in recs if r["step"] >= 100]
+    # sustained window: the TAIL of the run (last 60% of steps, past at
+    # least step 100). First-past-100 windowing proved fragile: one-time
+    # program-load/compile stalls on the remote service can land a few
+    # dispatches AFTER step 100 and pollute the whole window (measured
+    # 2.7k "sustained" on a run whose actual tail paced 33.8k). lines_
+    # per_sec in the log is cumulative (lines_seen / wall), so recover
+    # absolute counters and difference the window.
+    total = recs[-1]["step"]
+    warm = [r for r in recs if r["step"] >= max(100, int(0.4 * total))]
     if len(warm) < 2:
         raise SystemExit(
-            f"need >= 2 post-warmup train records to difference a window "
-            f"(have {len(warm)} past step 100 of {len(recs)} total) — run "
+            f"need >= 2 tail train records to difference a window "
+            f"(have {len(warm)} of {len(recs)} total) — run "
             f"with --steps >= 200 or lower log_every"
         )
     a, b = warm[0], warm[-1]

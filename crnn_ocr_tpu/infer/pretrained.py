@@ -38,6 +38,16 @@ REGISTRY = {
     # own-task greedy-vs-beam eval is benchmarks/beam_value_eval_fonts_hard
     # .json). Bucket 256.
     "fonts-hard": "fonts_hard",
+    # STN accuracy-value anchor (round 5, BASELINE config 3's purpose): a
+    # render-time shear/rotation/perspective-warped corpus (fontgen
+    # warp_shear=0.9, warp_rotate=4, warp_perspective=0.25, noise=0.06,
+    # sizes 16-24 — the distorted-plate regime), trained 4k steps WITHOUT
+    # model-side augment. Beats the equal-backbone no-STN arm: fresh-eval
+    # greedy WER 0.0508 vs 0.0625, val WER 0.0430 vs 0.0635
+    # (benchmarks/stn_ab_eval.json; the plain arm is not bundled). The
+    # learned localizer transforms 100% of samples (theta stats in the
+    # eval JSON). Bucket 256, fixed width (STN loc-Dense).
+    "fonts-warp-stn": "fonts_warp_stn",
 }
 
 

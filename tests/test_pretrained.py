@@ -76,6 +76,49 @@ def test_load_pretrained_fonts_stn():
     assert acc >= 5, list(zip(got, texts))
 
 
+def test_load_pretrained_fonts_warp_stn():
+    """The STN accuracy-value anchor (round 5): trained on render-time
+    shear/rotation/perspective-warped lines (no model-side augment). On
+    fresh warped samples it must read most lines right at its plateau
+    (fresh-eval CER ~0.011) — assert a band, not perfection."""
+    import os
+
+    from crnn_ocr_tpu.data import FontConfig, FontTextlines
+    from crnn_ocr_tpu.infer import load_pretrained, pretrained_dir
+    from crnn_ocr_tpu.utils.metrics import cer
+
+    try:
+        d = pretrained_dir("fonts-warp-stn")
+    except KeyError:
+        pytest.skip("fonts-warp-stn not registered")
+    if not os.path.exists(os.path.join(d, "weights.h5")):
+        pytest.skip("pretrained artifact not present")
+
+    pred = load_pretrained("fonts-warp-stn")
+    assert pred.cfg.use_stn and pred.buckets == (256,)
+    assert pred.cfg.provenance == "native"
+    synth = FontTextlines(FontConfig(
+        min_words=1, max_words=2, noise=0.06, min_size=16, max_size=24,
+        warp_shear=0.9, warp_rotate=4.0, warp_perspective=0.25,
+    ))
+    rng = np.random.default_rng(77)
+    images, texts = [], []
+    for attempt in range(20 * 48):
+        if len(images) >= 48:
+            break
+        imgs, txts = synth.sample_batch(48 - len(images), rng)
+        for img, t in zip(imgs, txts):
+            h, w = img.shape[:2]
+            if round(w * 32 / h) <= 256:
+                images.append(img)
+                texts.append(t)
+    else:
+        raise RuntimeError("could not render 48 bucket-256 samples")
+    got = pred.predict_text(images, bucket=256)
+    c = cer(got, texts)
+    assert c < 0.08, (c, list(zip(got, texts))[:4])
+
+
 def test_load_pretrained_fonts_hard():
     """The nonzero-CER anchor artifact: trained on the DEGRADED multi-word
     task (blur/contrast/resolution loss/noise). On fresh samples from its

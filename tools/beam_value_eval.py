@@ -224,6 +224,12 @@ def main() -> int:
         "tool": "tools/beam_value_eval.py",
         "backend": jax.default_backend(),
         "model": model,
+        # provenance-keyed default (round 5): which measured mode a user
+        # gets when calling predict(greedy=False) with no merge argument
+        "provenance": pred.cfg.provenance,
+        "default_beam_mode": (
+            "merged" if pred.default_merge_repeated else "nomerge"
+        ),
         "n": N,
         "seed": seed,
         "render_noise": noise,
