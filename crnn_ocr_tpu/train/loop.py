@@ -240,7 +240,7 @@ def fit(
                         rows, batch["batch_index"], rng,
                         bucket=bucket,
                     )
-            m = {k: v[-1] for k, v in ms.items()}  # last inner step's
+            m = None  # last inner step's metrics, sliced lazily (below)
         elif stacked_k:
             texts = batch.pop("texts", None)
             bucket = int(batch.pop("bucket"))
@@ -259,7 +259,7 @@ def fit(
                 batch = mesh_lib.shard_stacked_batch(batch, cfg.mesh)
             with timer:
                 state, ms = multi_step(state, batch, rng, bucket=bucket)
-            m = {k: v[-1] for k, v in ms.items()}  # last inner step's
+            m = None  # last inner step's metrics, sliced lazily (below)
         else:
             if multi_step is not None and "x" not in batch:
                 # partial group flushed by stack_host_batches (bounded
@@ -290,6 +290,17 @@ def fit(
                 batch = mesh_lib.shard_batch(batch, cfg.mesh)
             with timer:
                 state, m = train_step(state, batch, rng)
+            ms = None
+        if m is None and (
+            profiler_ctx is not None
+            or (gstep // cfg.log_every) > (prev_gstep // cfg.log_every)
+            or i == 0
+        ):
+            # Slice the last inner step's metrics ONLY when something will
+            # read them: each v[-1] is its own tunnel dispatch (~tens of
+            # ms), which at K-step cadence was costing more than the
+            # getitem's value on every non-logging iteration.
+            m = {k: v[-1] for k, v in ms.items()}
         if profiler_ctx is not None and i == cfg.profile_at + cfg.profile_steps:
             float(m["loss"])  # materialize: flush device work into the trace
             profiler_ctx.__exit__(None, None, None)
