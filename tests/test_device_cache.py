@@ -338,6 +338,58 @@ def test_device_cache_resume_is_bitwise(corpus_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_partial_residency_resume_is_bitwise(corpus_dir, tmp_path):
+    """SURVEY §5.4 for the PARTIAL-residency iterator (round 5): the miss
+    payload is a deterministic function of the planned rows, so a
+    checkpoint-resume run over a partially-resident corpus must replay
+    bitwise, exactly like the full-residency resume test."""
+    from crnn_ocr_tpu.train import CheckpointManager, FitConfig, fit
+
+    def mk():
+        r = _reader(corpus_dir, buckets=(128,))
+        full_pix = 24 * 32 * 128
+        c = DeviceResidentCorpus(r, max_bytes=int(960 + 0.5 * full_pix))
+        assert c.partial
+        return c
+
+    corpus = mk()
+    cfg = ModelConfig(
+        num_classes=corpus.reader.codec.num_classes, width=128,
+        stem_filters=8, block_filters=(8, 8, 12, 12), time_dense_size=8,
+        n_units=8, rnn_layers=1, dropout_rate=0.0,
+    )
+
+    def stream(skip=0):
+        return corpus.stacked_index_batches(2, skip=skip)
+
+    def fitcfg(steps, **kw):
+        return FitConfig(steps=steps, log_every=100, eval_every=10_000,
+                         steps_per_call=2, device_corpus=corpus, **kw)
+
+    def fresh_state():
+        return create_train_state(cfg, jax.random.key(0))
+
+    s_a = fit(fresh_state(), cfg, stream(), cfg=fitcfg(8))
+
+    ckdir = str(tmp_path / "ckp")
+    s_b = fit(fresh_state(), cfg, stream(), cfg=fitcfg(4, checkpoint_dir=ckdir))
+    mgr = CheckpointManager(ckdir)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape") else x, s_b,
+    )
+    s_c = mgr.restore(abstract)
+    assert int(s_c.step) == 4
+    s_c = fit(s_c, cfg, stream(skip=4), cfg=fitcfg(8))
+
+    assert int(s_c.step) == int(s_a.step) == 8
+    for pa, pc in zip(
+        jax.tree.leaves(s_a.params), jax.tree.leaves(s_c.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pc))
+
+
+@pytest.mark.slow
 def test_cached_step_dp_mesh_matches_single_device(corpus_dir):
     """The device-cache scan under an 8-device DP mesh (replicated HBM
     tables, gathered batch explicitly constrained to 'data'-sharding) must

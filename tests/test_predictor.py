@@ -202,6 +202,26 @@ def test_predict_beam_alignments_join_to_beam_text(saved_model):
             assert 0.0 < s.conf <= 1.0
 
 
+def test_predict_exact_tf_beam_alignments(saved_model):
+    """The host exact-TF beam path also force-aligns its decoded top path
+    when alignments=True (same contract as the device beam path)."""
+    d, synth = saved_model
+    pred = init_predictor(d)
+    rng = np.random.default_rng(21)
+    images, _ = synth.sample_batch(2, rng)
+    out = pred.predict(
+        images, greedy=False, beam_width=4, exact_tf=True, alignments=True
+    )
+    for img, p in zip(images, out):
+        assert p.spans is not None
+        assert "".join(s.char for s in p.spans) == p.text
+        prev = 0
+        for s in p.spans:
+            assert 0 <= s.x0 < s.x1 <= img.shape[1]
+            assert s.x0 >= prev
+            prev = s.x1
+
+
 def test_beam_merge_default_keyed_on_provenance(saved_model):
     """Native (own-trained) models default to standard CTC beam extraction
     (merge_repeated=False); migrated Keras artifacts keep K.ctc_decode
