@@ -177,10 +177,14 @@ def main(argv=None) -> int:
             print(f"[e2e] DEVICE-CACHE steps_per_call={K} run...",
                   file=sys.stderr)
             key = f"cached_dev_k{K}"
+            # log cadence: several dispatches per log point — at
+            # log_every <= K EVERY dispatch pays the log-point overhead
+            # (async copies + the metric-slice dispatch), measured at
+            # 26.7k vs 35.6k lines/s on the 100k corpus
             out[key] = run_train(
                 args.path, os.path.join(td, f"dev_k{K}"), args.steps,
                 pack=True, steps_per_call=K, device_cache=True,
-                log_every=max(25, K),
+                log_every=max(25, 4 * K),
             )
             out[key]["pct_of_ceiling"] = round(
                 100 * out[key]["sustained_lines_per_sec"]
@@ -199,7 +203,7 @@ def main(argv=None) -> int:
             out[key] = run_train(
                 args.path, os.path.join(td, f"dev_part{int(frac * 100)}"),
                 args.steps, pack=True, steps_per_call=K, device_cache=True,
-                max_gb=max_gb, log_every=max(25, K),
+                max_gb=max_gb, log_every=max(25, 4 * K),
             )
             out[key]["pct_of_ceiling"] = round(
                 100 * out[key]["sustained_lines_per_sec"]

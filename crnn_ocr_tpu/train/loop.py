@@ -156,6 +156,13 @@ def fit(
 
     pending_logs: list = []
 
+    # One fused device program slicing every metric's last inner step —
+    # NOT per-key getitems (each a separate tunnel dispatch; see the log
+    # branch below). Compiles once per metrics tree structure.
+    _slice_last = jax.jit(
+        lambda tree: jax.tree_util.tree_map(lambda v: v[-1], tree)
+    )
+
     def emit_log(entry):
         nonlocal ema_loss
         e_step, e_lines, e_dt, e_m, e_timer = entry
@@ -297,10 +304,12 @@ def fit(
             or i == 0
         ):
             # Slice the last inner step's metrics ONLY when something will
-            # read them: each v[-1] is its own tunnel dispatch (~tens of
-            # ms), which at K-step cadence was costing more than the
-            # getitem's value on every non-logging iteration.
-            m = {k: v[-1] for k, v in ms.items()}
+            # read them, and in ONE jitted call: per-key v[-1] getitems
+            # were each their own tunnel dispatch (~tens of ms), which at
+            # K-step cadence cost more than the whole device step on every
+            # logging iteration (100k corpus e2e measured 26.7k lines/s at
+            # log_every<=K vs 35.6k with sparse logging).
+            m = _slice_last(ms)
         if profiler_ctx is not None and i == cfg.profile_at + cfg.profile_steps:
             float(m["loss"])  # materialize: flush device work into the trace
             profiler_ctx.__exit__(None, None, None)
